@@ -1,0 +1,238 @@
+"""Vectorized fixed-hypothesis RANSAC for homography / fundamental / essential
+matrices — the TPU replacement for the reference's OpenCV calls
+(cv2.findHomography tasks/MHA.py:45, cv2.findFundamentalMat utils/mvg.py:16,
+cv2.findEssentialMat + cv2.recoverPose tasks/AUC.py:50-63,
+tasks/visual_odometer.py:75-79).
+
+Design: instead of OpenCV's adaptive sequential RANSAC, we draw a static batch
+of minimal samples (Gumbel top-k over the validity mask gives distinct valid
+indices), solve every hypothesis with one batched SVD, score all hypotheses
+against all correspondences with one [H_hyp, K] matrix of residuals, pick the
+best by masked inlier count, and refit on the winner's inliers with a weighted
+DLT. Everything is fixed-shape and jit-friendly.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_HP = jax.lax.Precision.HIGHEST
+_mm = functools.partial(jnp.matmul, precision=_HP)
+
+
+def _sample_minimal(key, mask, n_hyp: int, sample_size: int):
+    """[n_hyp, sample_size] distinct indices of valid entries (Gumbel top-k).
+    If fewer than sample_size valid points exist the result repeats valid
+    indices — callers must gate on the count."""
+    k = mask.shape[0]
+    g = jax.random.gumbel(key, (n_hyp, k))
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, sample_size)
+    return idx
+
+
+def _solve_dlt_h(p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray):
+    """Weighted homography DLT. p0, p1 [N, 2]; w [N] weights.
+    Returns H [3,3] (mapping p0 -> p1) via the smallest right singular vector
+    of the weighted [2N, 9] design matrix."""
+    x, y = p0[:, 0], p0[:, 1]
+    u, v = p1[:, 0], p1[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], axis=1)
+    r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], axis=1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+    _, _, vt = jnp.linalg.svd(_mm(A.T, A))
+    h = vt[-1]
+    return h.reshape(3, 3)
+
+
+def _normalize_pts(p: jnp.ndarray, w: jnp.ndarray):
+    """Hartley normalization restricted to weighted points: similarity T such
+    that weighted centroid -> 0, mean distance -> sqrt(2)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    c = jnp.sum(p * w[:, None], axis=0) / wsum
+    d = jnp.sqrt(jnp.sum((p - c) ** 2, axis=1) + 1e-18)
+    md = jnp.sum(d * w) / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(md, 1e-9)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T = T.at[0, 0].set(s).at[1, 1].set(s)
+    T = T.at[0, 2].set(-s * c[0]).at[1, 2].set(-s * c[1])
+    return T
+
+
+def _apply_T(T, p):
+    return p * jnp.array([T[0, 0], T[1, 1]]) + jnp.array([T[0, 2], T[1, 2]])
+
+
+def _homography_residual(H, p0, p1):
+    """Forward reprojection error |p1 - H p0| (cv2.findHomography's measure)."""
+    ph = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=1)
+    q = _mm(ph, H.T)
+    qz = jnp.where(jnp.abs(q[:, 2:3]) > 1e-12, q[:, 2:3], 1e-12)
+    return jnp.linalg.norm(q[:, 0:2] / qz - p1, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_homography(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0):
+    """p0, p1 [K,2] pixel coords; mask [K]. Returns (H [3,3], inliers [K],
+    ok scalar bool)."""
+    idx = _sample_minimal(key, mask, n_hyp, 4)
+
+    def solve_one(i4):
+        return _solve_dlt_h(p0[i4], p1[i4], jnp.ones(4))
+
+    Hs = jax.vmap(solve_one)(idx)                        # [n_hyp, 3, 3]
+    res = jax.vmap(lambda H: _homography_residual(H, p0, p1))(Hs)
+    inl = (res < thresh) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(jnp.float32)
+    # refit on winning inliers with Hartley normalization
+    T0 = _normalize_pts(p0, w)
+    T1 = _normalize_pts(p1, w)
+    Hn = _solve_dlt_h(_apply_T(T0, p0), _apply_T(T1, p1), w)
+    H = _mm(jnp.linalg.inv(T1), _mm(Hn, T0))
+    H = H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1e-12)
+    final_inl = (_homography_residual(H, p0, p1) < thresh) & mask
+    ok = (jnp.sum(mask) >= 4) & (counts[best] >= 4)
+    return H, final_inl, ok
+
+
+def _solve_eightpoint(p0, p1, w):
+    """Weighted 8-point DLT for F/E. p in (possibly normalized-camera) coords.
+    Returns the [3,3] matrix with smallest singular residual; NOT rank-reduced."""
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    o = jnp.ones_like(x0)
+    A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, o],
+                  axis=1) * w[:, None]
+    _, _, vt = jnp.linalg.svd(_mm(A.T, A))
+    return vt[-1].reshape(3, 3)
+
+
+def _rank2(F):
+    u, s, vt = jnp.linalg.svd(F)
+    s = s.at[2].set(0.0)
+    return _mm(u * s[None, :], vt)
+
+
+def _essential_project(E):
+    u, s, vt = jnp.linalg.svd(E)
+    m = (s[0] + s[1]) / 2.0
+    return _mm(u * jnp.array([m, m, 0.0])[None, :], vt)
+
+
+def _sampson(F, p0, p1):
+    """Sampson distance for x1^T F x0 = 0."""
+    ph0 = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=1)
+    ph1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)
+    Fx0 = _mm(ph0, F.T)      # [K,3] lines in image 1
+    Ftx1 = _mm(ph1, F)       # [K,3] lines in image 0
+    num = jnp.sum(ph1 * Fx0, axis=1)
+    den = Fx0[:, 0] ** 2 + Fx0[:, 1] ** 2 + Ftx1[:, 0] ** 2 + Ftx1[:, 1] ** 2
+    return jnp.abs(num) / jnp.sqrt(jnp.maximum(den, 1e-18))
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_fundamental(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0):
+    """8-point RANSAC for F (x1^T F x0 = 0). Returns (F, inliers, ok)."""
+    idx = _sample_minimal(key, mask, n_hyp, 8)
+
+    def solve_one(i8):
+        q0, q1 = p0[i8], p1[i8]
+        T0 = _normalize_pts(q0, jnp.ones(8))
+        T1 = _normalize_pts(q1, jnp.ones(8))
+        Fn = _rank2(_solve_eightpoint(_apply_T(T0, q0), _apply_T(T1, q1),
+                                      jnp.ones(8)))
+        return _mm(T1.T, _mm(Fn, T0))
+
+    Fs = jax.vmap(solve_one)(idx)
+    res = jax.vmap(lambda F: _sampson(F, p0, p1))(Fs)
+    inl = (res < thresh) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(jnp.float32)
+    T0 = _normalize_pts(p0, w)
+    T1 = _normalize_pts(p1, w)
+    Fn = _rank2(_solve_eightpoint(_apply_T(T0, p0), _apply_T(T1, p1), w))
+    F = _mm(T1.T, _mm(Fn, T0))
+    final_inl = (_sampson(F, p0, p1) < thresh) & mask
+    ok = (jnp.sum(mask) >= 8) & (counts[best] >= 8)
+    return F, final_inl, ok
+
+
+def _triangulate_depths(R, t, u0, u1):
+    """For normalized rays u0 (cam0) and u1 (cam1) with X1 = R X0 + t:
+    z0 (R u0 x u1) = -(t x u1)  =>  least-squares depth along each ray.
+    Returns (z0, z1) [K]."""
+    Ru0 = _mm(u0, R.T)
+    a = jnp.cross(Ru0, u1)
+    b = -jnp.cross(jnp.broadcast_to(t, u1.shape), u1)
+    z0 = jnp.sum(a * b, axis=1) / jnp.maximum(jnp.sum(a * a, axis=1), 1e-18)
+    x1 = z0[:, None] * Ru0 + t
+    z1 = x1[:, 2]
+    return z0, z1
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t) candidates (4 poses: (R1,±t), (R2,±t))."""
+    u, s, vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = _mm(u, _mm(W, vt))
+    R2 = _mm(u, _mm(W.T, vt))
+    t = u[:, 2]
+    return R1, R2, t
+
+
+def recover_pose(E, p0, p1, mask):
+    """cv2.recoverPose equivalent on normalized-camera coords: pick the
+    (R, t) among the 4 decompositions with the most points in front of both
+    cameras. Returns (R, t, pose_mask, count)."""
+    R1, R2, t = decompose_essential(E)
+    u0 = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=1)
+    u1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)
+
+    def count_for(R, tt):
+        z0, z1 = _triangulate_depths(R, tt, u0, u1)
+        good = (z0 > 0) & (z1 > 0) & mask
+        return good, jnp.sum(good)
+
+    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+    goods, counts = zip(*[count_for(R, tt) for R, tt in cands])
+    counts = jnp.stack(counts)
+    goods = jnp.stack(goods)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], goods[best], counts[best]
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_essential(p0n, p1n, mask, key, n_hyp: int = 512,
+                     thresh: float = 1e-3):
+    """8-point essential RANSAC on *normalized camera* coordinates with
+    manifold projection (replaces cv2.findEssentialMat; the reference
+    normalizes by intrinsics and threshold/f_mean first, tasks/AUC.py:40-49).
+    Returns (E, inliers, ok)."""
+    idx = _sample_minimal(key, mask, n_hyp, 8)
+
+    def solve_one(i8):
+        return _essential_project(
+            _solve_eightpoint(p0n[i8], p1n[i8], jnp.ones(8)))
+
+    Es = jax.vmap(solve_one)(idx)
+    res = jax.vmap(lambda E: _sampson(E, p0n, p1n))(Es)
+    inl = (res < thresh) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    w = inl[best].astype(jnp.float32)
+    E = _essential_project(_solve_eightpoint(p0n, p1n, w))
+    final_inl = (_sampson(E, p0n, p1n) < thresh) & mask
+    ok = (jnp.sum(mask) >= 8) & (counts[best] >= 8)
+    return E, final_inl, ok

@@ -1,0 +1,146 @@
+"""Pyramidal Lucas-Kanade optical flow, fully on-device.
+
+Semantics parity target: reference utils/matcher.py:7-142 `OpticalFlow` —
+  * sobel-style gradients via 3x3 convs with kernels [[1,0,-1],[2,0,-2],...]
+    (zero padding, per-channel),
+  * pyramid built by avg-pooling the *original* image with kernel 2i
+    (levels [full, /2, /4] for levels=3),
+  * initial points jittered on a circle of radius `distance` and clamped to
+    [10, S-10],
+  * per level, `iterations` rounds of: bilinear-sample win^2 patches of
+    image2 / its gradients at the current points, 2x2 Gauss-Newton solve
+    G^-1 b with a det > 1e-6 guard, update pts -= G^-1 b.
+
+TPU design: the reference materializes [C*win^2, H, W] unfolded images and
+grid_samples them (utils/matcher.py:111-125). We instead gather the win^2
+patch directly per point per iteration (bilinear with zero padding — the two
+formulations are mathematically identical), which keeps memory at
+[N, win^2, C] and vectorizes over points.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from keypoint_bench_tpu.ops.grid_sample import sample_bilinear_pixels
+
+
+@dataclasses.dataclass(frozen=True)
+class LKParams:
+    distance: float = 3.0
+    win_size: int = 3
+    levels: int = 1
+    iterations: int = 40
+
+
+def _gradients(img: jnp.ndarray):
+    """img [H, W, C] -> (dx, dy) with the reference's kernels and zero pad."""
+    kx = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]])
+    ky = kx.T
+    c = img.shape[-1]
+    wx = jnp.tile(kx[:, :, None, None], (1, 1, 1, c))
+    wy = jnp.tile(ky[:, :, None, None], (1, 1, 1, c))
+    x = img[None]
+    dn = lax.conv_dimension_numbers(x.shape, wx.shape, ("NHWC", "HWIO", "NHWC"))
+    dx = lax.conv_general_dilated(x, wx, (1, 1), [(1, 1), (1, 1)],
+                                  dimension_numbers=dn, feature_group_count=c,
+                                  precision=jax.lax.Precision.HIGHEST)[0]
+    dy = lax.conv_general_dilated(x, wy, (1, 1), [(1, 1), (1, 1)],
+                                  dimension_numbers=dn, feature_group_count=c,
+                                  precision=jax.lax.Precision.HIGHEST)[0]
+    return dx, dy
+
+
+def _avg_pool_img(img: jnp.ndarray, k: int) -> jnp.ndarray:
+    y = lax.reduce_window(img[None], 0.0, lax.add, (1, k, k, 1),
+                          (1, k, k, 1), "VALID")[0]
+    return y / (k * k)
+
+
+def _patch_offsets(win: int):
+    half = win // 2
+    d = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    return ox.reshape(-1), oy.reshape(-1)  # [win^2]
+
+
+def _sample_patches(img, pts, ox, oy):
+    """img [H,W,C], pts [N,2] pixel coords -> [N, win^2, C]."""
+    px = pts[:, 0:1] + ox[None, :]
+    py = pts[:, 1:2] + oy[None, :]
+    return sample_bilinear_pixels(img, px, py)
+
+
+def _lk_level(img1, img2, pts1, pts2, win: int, iterations: int):
+    """One pyramid level. imgs [H,W,C]; pts [N,2] in this level's pixels."""
+    dx2, dy2 = _gradients(img2)
+    ox, oy = _patch_offsets(win)
+    patch1 = _sample_patches(img1, pts1, ox, oy)       # [N, w2, C]
+    n = pts1.shape[0]
+
+    def body(_, pts_pre):
+        p2 = _sample_patches(img2, pts_pre, ox, oy)
+        gx = _sample_patches(dx2, pts_pre, ox, oy)
+        gy = _sample_patches(dy2, pts_pre, ox, oy)
+        di = (patch1 - p2).reshape(n, -1)              # [N, w2*C]
+        jx = gx.reshape(n, -1)
+        jy = gy.reshape(n, -1)
+        g00 = jnp.sum(jx * jx, axis=1)
+        g01 = jnp.sum(jx * jy, axis=1)
+        g11 = jnp.sum(jy * jy, axis=1)
+        bx = jnp.sum(di * jx, axis=1)
+        by = jnp.sum(di * jy, axis=1)
+        det = g00 * g11 - g01 * g01
+        ok = det > 1e-6
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        ux = (g11 * bx - g01 * by) * inv_det
+        uy = (-g01 * bx + g00 * by) * inv_det
+        step = jnp.stack([ux, uy], axis=1)
+        return pts_pre - jnp.where(ok[:, None], step, 0.0)
+
+    return lax.fori_loop(0, iterations, body, pts2)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def optical_flow(img1: jnp.ndarray, img2: jnp.ndarray,
+                 pts1: jnp.ndarray, pts2: jnp.ndarray,
+                 key: jax.Array, params: LKParams = LKParams()):
+    """Track pts1 (in [0,1]) from img1 [H,W,C] into img2.
+
+    pts2 is the initial guess in [0,1] (the reference passes pts1 again).
+    Returns (tracked pts in [0,1], error clamped at 8 px).
+    """
+    h, w = img1.shape[0], img1.shape[1]
+    scale = jnp.array([w - 1.0, h - 1.0], jnp.float32)
+    p1 = pts1[:, 0:2] * scale
+    p2 = pts2[:, 0:2] * scale
+
+    angle = jax.random.normal(key, (p1.shape[0],)) * 6.28
+    jitter = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=1)
+    p2r = p2 + jitter * params.distance
+    p2r = jnp.stack([jnp.clip(p2r[:, 0], 10, w - 10),
+                     jnp.clip(p2r[:, 1], 10, h - 10)], axis=1)
+
+    # pyramid: [full, /2, /4, ...] (reference pools the original image with
+    # kernel 2i, utils/matcher.py:38-46)
+    pyr1 = [img1]
+    pyr2 = [img2]
+    for i in range(params.levels - 1):
+        k = 2 * (i + 1)
+        pyr1.append(_avg_pool_img(img1, k))
+        pyr2.append(_avg_pool_img(img2, k))
+
+    pts_pre = p2r
+    for i in range(params.levels):
+        lvl = params.levels - i - 1
+        s = float(2 ** lvl)
+        out = _lk_level(pyr1[lvl], pyr2[lvl], p1 / s, pts_pre / s,
+                        params.win_size, params.iterations)
+        pts_pre = out * s
+
+    err = jnp.minimum(jnp.linalg.norm(pts_pre - p2, axis=1), 8.0)
+    return pts_pre / scale, err

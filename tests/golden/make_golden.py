@@ -1,0 +1,190 @@
+"""Generate golden activation fixtures from the reference torch models.
+
+Run manually (requires /root/reference mounted):
+    python tests/golden/make_golden.py
+
+For each model with available weights, runs the *reference* implementation on a
+fixed random image and stores (score_map, desc_map) as float32 npz. The parity
+tests (test_models.py) compare our JAX implementations against these fixtures,
+so the suite stays hermetic once fixtures exist.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def install_stubs():
+    import torch
+    import torch.nn as nn
+
+    # torchvision.models.resnet conv helpers (standard public API shapes)
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+    tvr = types.ModuleType("torchvision.models.resnet")
+
+    def conv3x3(in_planes, out_planes, stride=1, groups=1, dilation=1):
+        return nn.Conv2d(in_planes, out_planes, 3, stride=stride,
+                         padding=dilation, groups=groups, bias=False,
+                         dilation=dilation)
+
+    def conv1x1(in_planes, out_planes, stride=1):
+        return nn.Conv2d(in_planes, out_planes, 1, stride=stride, bias=False)
+
+    tvr.conv3x3 = conv3x3
+    tvr.conv1x1 = conv1x1
+    tvm.resnet = tvr
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.models.resnet"] = tvr
+    for name in ("openvino", "tensorrt", "onnx", "thop", "kornia",
+                 "kornia.filters", "kornia.geometry", "pypose",
+                 "pytorch_lightning", "skimage", "skimage.feature"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    # kornia pieces used by KeyNet
+    import torch.nn.functional as F
+
+    class SpatialGradient(nn.Module):
+        """kornia.filters.SpatialGradient equivalent (sobel, normalized)."""
+        def __init__(self, mode="sobel", order=1):
+            super().__init__()
+            k = torch.tensor([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]])
+            k = k / 8.0
+            self.register_buffer("kx", k[None, None])
+            self.register_buffer("ky", k.t()[None, None])
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            xf = x.reshape(b * c, 1, h, w)
+            xp = F.pad(xf, (1, 1, 1, 1), mode="replicate")
+            gx = F.conv2d(xp, self.kx)
+            gy = F.conv2d(xp, self.ky)
+            return torch.stack([gx, gy], dim=2).reshape(b, c, 2, h, w)
+
+    def gaussian_blur2d(x, kernel_size, sigma):
+        ks = kernel_size[0]
+        sig = sigma[0]
+        half = ks // 2
+        g = torch.exp(-torch.arange(-half, half + 1, dtype=torch.float32) ** 2
+                      / (2 * sig ** 2))
+        g = g / g.sum()
+        k2 = g[:, None] * g[None, :]
+        b, c, h, w = x.shape
+        xf = x.reshape(b * c, 1, h, w)
+        xp = F.pad(xf, (half, half, half, half), mode="reflect")
+        y = F.conv2d(xp, k2[None, None])
+        return y.reshape(b, c, h, w)
+
+    _sg = SpatialGradient()
+
+    def spatial_gradient(x, mode="sobel", order=1, normalized=True):
+        return _sg(x)
+
+    def filter2d(x, kernel, border_type="reflect", normalized=False):
+        # kernel [1, kh, kw]
+        k = kernel[0]
+        kh, kw = k.shape
+        b, c, h, w = x.shape
+        xf = x.reshape(b * c, 1, h, w)
+        xp = F.pad(xf, (kw // 2, kw // 2, kh // 2, kh // 2), mode=border_type)
+        y = F.conv2d(xp, k[None, None])
+        return y.reshape(b, c, h, w)
+
+    sys.modules["kornia"].filters = sys.modules["kornia.filters"]
+    sys.modules["kornia.filters"].SpatialGradient = SpatialGradient
+    sys.modules["kornia.filters"].spatial_gradient = spatial_gradient
+    sys.modules["kornia.filters"].filter2d = filter2d
+    sys.modules["kornia.filters"].gaussian_blur2d = gaussian_blur2d
+    sys.modules["kornia"].SpatialGradient = SpatialGradient
+    sys.modules["kornia"].spatial_gradient = spatial_gradient
+    sys.modules["kornia"].filter2d = filter2d
+
+
+def main():
+    sys.path.insert(0, REF)
+    install_stubs()
+    import torch
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 3, 64, 64)).astype(np.float32)
+    timg = torch.from_numpy(img)
+
+    out = {}
+
+    def run(name, build):
+        try:
+            model = build()
+            model.eval()
+            with torch.no_grad():
+                score, desc = model(timg)
+            rec = {"image": img, "score": score.numpy()}
+            if desc is not None:
+                rec["desc"] = desc.numpy()
+            np.savez(os.path.join(HERE, f"{name}.npz"), **rec)
+            print("golden ok:", name)
+        except Exception as e:
+            print("golden FAIL:", name, repr(e))
+
+    def build_alike():
+        from models.ALike import ALNet
+        p = {"c1": 8, "c2": 16, "c3": 32, "c4": 64, "dim": 64}
+        m = ALNet(p)
+        m.load_state_dict(torch.load(f"{REF}/weights/alike-t.pth",
+                                     map_location="cpu"))
+        return m
+
+    def build_letnet():
+        from models.LETNet import LETNet
+        m = LETNet(c1=8, c2=16, grayscale=False)
+        m.load_state_dict(torch.load(f"{REF}/weights/letnet.pth",
+                                     map_location="cpu"))
+        return m
+
+    def build_goodpoint():
+        from models.GoodPoint import GoodPoint
+        m = GoodPoint({"c0": 3, "c1": 8, "h0": 4})
+        m.load_state_dict(torch.load(f"{REF}/weights/goodpoint.pth",
+                                     map_location="cpu"))
+        return m
+
+    def build_edgepoint():
+        from models.EdgePoint import EdgePoint
+        p = {"c1": 8, "c2": 16, "c3": 32, "c4": 64, "dim": 64,
+             "single_head": True}
+        m = EdgePoint(p)
+        m.load_state_dict(torch.load(f"{REF}/weights/EdgePoint.pt",
+                                     map_location="cpu"))
+        return m
+
+    def build_keynet():
+        from models.KeyNet import KeyNet
+        m = KeyNet({"num_filters": 8, "num_levels": 3, "kernel_size": 5})
+        ck = torch.load(f"{REF}/weights/keynet_pytorch.pth",
+                        map_location="cpu")
+        m.load_state_dict(ck["state_dict"])
+        return m
+
+    def build_r2d2():
+        ck = torch.load(f"{REF}/weights/r2d2_WASF_N16.pt", map_location="cpu")
+        from models import r2d2 as r2d2mod
+        m = eval(ck["net"], vars(r2d2mod))
+        m.load_state_dict({k.replace("module.", ""): v
+                           for k, v in ck["state_dict"].items()})
+        return m
+
+    run("Alike", build_alike)
+    run("LETNet", build_letnet)
+    run("GoodPoint", build_goodpoint)
+    run("EdgePoint", build_edgepoint)
+    run("KeyNet", build_keynet)
+    run("r2d2", build_r2d2)
+
+
+if __name__ == "__main__":
+    main()
