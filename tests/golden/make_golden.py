@@ -35,9 +35,27 @@ def install_stubs():
     def conv1x1(in_planes, out_planes, stride=1):
         return nn.Conv2d(in_planes, out_planes, 1, stride=stride, bias=False)
 
+    def vgg16(**kwargs):
+        """Standard torchvision VGG16 `features` layout (config D)."""
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers = []
+        in_c = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(in_c, v, 3, padding=1),
+                           nn.ReLU(inplace=True)]
+                in_c = v
+        m = types.SimpleNamespace()
+        m.features = nn.Sequential(*layers)
+        return m
+
     tvr.conv3x3 = conv3x3
     tvr.conv1x1 = conv1x1
     tvm.resnet = tvr
+    tvm.vgg16 = vgg16
     tv.models = tvm
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = tvm
@@ -107,6 +125,7 @@ def install_stubs():
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))  # repo root
     sys.path.insert(0, REF)
     install_stubs()
     import torch
@@ -117,19 +136,43 @@ def main():
 
     out = {}
 
-    def run(name, build):
+    def run(name, build, store_params=False, image=None):
         try:
             model = build()
             model.eval()
+            ti = torch.from_numpy(image) if image is not None else timg
             with torch.no_grad():
-                score, desc = model(timg)
-            rec = {"image": img, "score": score.numpy()}
+                score, desc = model(ti)
+            rec = {"image": (image if image is not None else img),
+                   "score": score.numpy()}
             if desc is not None:
                 rec["desc"] = desc.numpy()
+            if store_params:
+                from keypoint_bench_tpu.weights.convert import convert_state_dict
+                for k, v in convert_state_dict(model.state_dict()).items():
+                    rec[f"param:{k}"] = v
             np.savez(os.path.join(HERE, f"{name}.npz"), **rec)
             print("golden ok:", name)
         except Exception as e:
+            import traceback
+            traceback.print_exc()
             print("golden FAIL:", name, repr(e))
+
+    def randomize(model, seed):
+        """Random weights + non-trivial BN stats so layout bugs can't hide."""
+        g = torch.Generator().manual_seed(seed)
+        sd = model.state_dict()
+        for k, v in sd.items():
+            if not torch.is_tensor(v) or not v.dtype.is_floating_point:
+                continue
+            if "running_var" in k:
+                v.copy_(0.5 + torch.rand(v.shape, generator=g))
+            elif "running_mean" in k:
+                v.copy_(0.2 * torch.randn(v.shape, generator=g))
+            else:
+                v.copy_(0.3 * torch.randn(v.shape, generator=g))
+        model.load_state_dict(sd)
+        return model
 
     def build_alike():
         from models.ALike import ALNet
@@ -178,12 +221,41 @@ def main():
                            for k, v in ck["state_dict"].items()})
         return m
 
+    # models with shipped weights: real checkpoints
     run("Alike", build_alike)
     run("LETNet", build_letnet)
     run("GoodPoint", build_goodpoint)
     run("EdgePoint", build_edgepoint)
     run("KeyNet", build_keynet)
     run("r2d2", build_r2d2)
+
+    # models whose blobs are missing: randomized weights stored inside the
+    # fixture (architecture parity is what's under test)
+    def build_superpoint():
+        from models.SuperPoint import SuperPointNet
+        return randomize(SuperPointNet(), 10)
+
+    def build_xfeat():
+        from models.XFeat import XFeatModel
+        return randomize(XFeatModel(), 11)
+
+    def build_disk():
+        from models.disk import DISK
+        return randomize(DISK(), 12)
+
+    def build_sfd2():
+        from models.sfd2 import ResSegNetV2
+        return randomize(ResSegNetV2(outdim=128, require_stability=True), 13)
+
+    def build_d2net():
+        from models.D2_Net import D2Net
+        return randomize(D2Net(model_file=None, use_cuda=False), 14)
+
+    run("SuperPoint", build_superpoint, store_params=True)
+    run("XFeat", build_xfeat, store_params=True)
+    run("DISK", build_disk, store_params=True)
+    run("sfd2", build_sfd2, store_params=True)
+    run("D2Net", build_d2net, store_params=True)
 
 
 if __name__ == "__main__":
