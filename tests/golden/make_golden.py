@@ -257,6 +257,46 @@ def main():
     run("sfd2", build_sfd2, store_params=True)
     run("D2Net", build_d2net, store_params=True)
 
+    # LightGlue: randomized weights, deterministic mode (no early exit /
+    # pruning), raw keypoints+descriptors in, matches out
+    try:
+        from models.lightglue import LightGlue
+        orig_load = torch.load
+        torch.load = lambda *a, **k: {}
+        try:
+            lg = LightGlue(features="superpoint", weight_path="/nonexistent",
+                           depth_confidence=-1, width_confidence=-1,
+                           flash=False)
+        finally:
+            torch.load = orig_load
+        randomize(lg, 20)
+        lg.eval()
+        rg = np.random.default_rng(20)
+        M, N = 64, 80
+        kpts0 = rg.uniform(0, 511, (1, M, 2)).astype(np.float32)
+        kpts1 = rg.uniform(0, 511, (1, N, 2)).astype(np.float32)
+        de0 = rg.normal(0, 1, (1, M, 256)).astype(np.float32)
+        de1 = rg.normal(0, 1, (1, N, 256)).astype(np.float32)
+        with torch.no_grad():
+            out = lg({"image0": {"keypoints": torch.from_numpy(kpts0),
+                                 "descriptors": torch.from_numpy(de0)},
+                      "image1": {"keypoints": torch.from_numpy(kpts1),
+                                 "descriptors": torch.from_numpy(de1)}})
+        from keypoint_bench_tpu.weights.convert import convert_state_dict
+        rec = {
+            "kpts0": kpts0, "kpts1": kpts1, "desc0": de0, "desc1": de1,
+            "matches0": out["matches0"].numpy(),
+            "mscores0": out["matching_scores0"].numpy(),
+        }
+        for k, v in convert_state_dict(lg.state_dict()).items():
+            rec[f"param:{k}"] = v
+        np.savez(os.path.join(HERE, "lightglue.npz"), **rec)
+        print("golden ok: lightglue")
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        print("golden FAIL: lightglue")
+
 
 if __name__ == "__main__":
     main()
