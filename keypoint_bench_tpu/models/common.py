@@ -79,12 +79,14 @@ def prelu(x, alpha):
 
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix(n_out: int, n_in: int) -> jnp.ndarray:
+def _interp_matrix(n_out: int, n_in: int):
     """Row-stochastic [n_out, n_in] bilinear interpolation matrix with
-    align_corners=True mapping: src = i * (n_in-1)/(n_out-1)."""
+    align_corners=True mapping: src = i * (n_in-1)/(n_out-1). Cached as
+    *numpy* (a cached jax array created inside a jit trace would leak the
+    tracer into later traces)."""
     import numpy as np
     if n_in == 1:
-        return jnp.ones((n_out, 1), jnp.float32)
+        return np.ones((n_out, 1), np.float32)
     i = np.arange(n_out)
     src = i * (n_in - 1) / (n_out - 1) if n_out > 1 else np.zeros(1)
     lo = np.floor(src).astype(np.int64)
@@ -93,7 +95,7 @@ def _interp_matrix(n_out: int, n_in: int) -> jnp.ndarray:
     A = np.zeros((n_out, n_in), np.float32)
     A[i, lo] = 1 - frac
     A[i, lo + 1] = frac
-    return jnp.asarray(A)
+    return A
 
 
 def upsample_bilinear_align(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -122,10 +124,10 @@ def resize_bilinear_align(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray
 
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix_half(n_out: int, n_in: int) -> jnp.ndarray:
+def _interp_matrix_half(n_out: int, n_in: int):
     """[n_out, n_in] bilinear matrix with half-pixel (align_corners=False)
     mapping: src = (i + 0.5) * n_in/n_out - 0.5, edges clamped (torch
-    F.interpolate default)."""
+    F.interpolate default). Cached as numpy — see _interp_matrix."""
     import numpy as np
     i = np.arange(n_out)
     src = (i + 0.5) * (n_in / n_out) - 0.5
@@ -136,7 +138,7 @@ def _interp_matrix_half(n_out: int, n_in: int) -> jnp.ndarray:
     A = np.zeros((n_out, n_in), np.float32)
     A[i, lo] = 1 - frac
     A[i, np.minimum(lo + 1, n_in - 1)] += frac
-    return jnp.asarray(A)
+    return A
 
 
 def resize_bilinear_half_pixel(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

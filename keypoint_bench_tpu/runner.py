@@ -1,0 +1,404 @@
+"""Evaluation orchestrator — the TPU-native replacement for the reference's
+LightningModule runtime (models/model_interface.py MInterface + DInterface).
+
+Everything between image decode and final metric scalar runs on device inside
+jitted steps; the host loop only feeds numpy batches and collects scalars
+(SURVEY.md §3.1 boundary analysis). Dispatch is by typed config (task_type /
+model_type / matcher_params.type / data params) through registries instead of
+if/elif chains.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from keypoint_bench_tpu.datasets import get_dataset
+from keypoint_bench_tpu.geometry.warp import warp_homography, warp_se3
+from keypoint_bench_tpu.models import get_model
+from keypoint_bench_tpu.models.lightglue import lightglue_match
+from keypoint_bench_tpu.ops.detect import DetectParams, detection
+from keypoint_bench_tpu.ops.lk import LKParams, optical_flow
+from keypoint_bench_tpu.ops.matching import brute_force_match
+from keypoint_bench_tpu.tasks.auc import (estimate_pose_pair, pose_auc,
+                                          pose_error)
+from keypoint_bench_tpu.tasks.fundamental import (fundamental_metrics,
+                                                  fundamental_ransac_ratio)
+from keypoint_bench_tpu.tasks.mha import mha_pair
+from keypoint_bench_tpu.tasks.repeatability import repeatability_pair
+from keypoint_bench_tpu.tasks.vo import chain_poses, vo_pair_pose
+from keypoint_bench_tpu.weights import load_params
+
+
+def _crop32(img: np.ndarray) -> np.ndarray:
+    """Crop H,W down to multiples of 32 (reference test_step,
+    model_interface.py:192-204)."""
+    h, w = img.shape[0], img.shape[1]
+    return img[: h - h % 32, : w - w % 32]
+
+
+@dataclass
+class EvalConfig:
+    model_type: str
+    task_type: str
+    data_params: dict
+    extractor_params: dict = field(default_factory=dict)
+    matcher_params: dict = field(default_factory=dict)
+    task_params: dict = field(default_factory=dict)
+    model_params: dict = field(default_factory=dict)
+    weights_dir: str | None = None
+    output_dir: str = "output"
+    seed: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EvalConfig":
+        return cls(**d)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "EvalConfig":
+        import yaml
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))
+
+
+class Evaluator:
+    def __init__(self, cfg: EvalConfig):
+        self.cfg = cfg
+        self.model_fn = get_model(cfg.model_type)
+        if cfg.model_type == "Harris":
+            self.params = dict(cfg.model_params or
+                               {"block_size": 5, "ksize": 3, "k": 0.04})
+        else:
+            self.params = load_params(cfg.model_type, cfg.weights_dir)
+        ep = cfg.extractor_params
+        self.detect_params = DetectParams(
+            nms_dist=int(ep.get("nms_dist", 4)),
+            threshold=float(ep.get("threshold", 0.0)),
+            border_dist=int(ep.get("border_dist", 8)),
+            top_k=int(ep.get("top_k", 300)),
+            min_score=float(ep.get("min_score", 0.0)))
+        mp = cfg.matcher_params
+        self.matcher_type = mp.get("type", "brute_force")
+        bf = mp.get("brute_force_params", {})
+        self.bf_max_distance = float(bf.get("max_distance", 5.0))
+        of = mp.get("optical_flow_params", {})
+        self.lk_params = LKParams(
+            distance=float(of.get("distance", 3)),
+            win_size=int(of.get("win_size", 3)),
+            levels=int(of.get("levels", 1)),
+            iterations=int(of.get("interation", of.get("iterations", 40))))
+        self.lightglue_params = None
+        if self.matcher_type == "light_glue":
+            lg_name = {"SuperPoint": "lightglue_superpoint",
+                       "DISK": "lightglue_disk"}.get(cfg.model_type)
+            if lg_name is not None:
+                try:
+                    self.lightglue_params = load_params(lg_name,
+                                                        cfg.weights_dir)
+                except FileNotFoundError:
+                    self.lightglue_params = None
+        self.desc_scale = 8 if cfg.model_type == "SuperPoint" else 1
+        self._key = jax.random.key(cfg.seed)
+        self._detect_jit = jax.jit(self._detect_impl)
+
+    # ---------------- device stages ----------------
+
+    def _detect_impl(self, image):
+        score, desc = self.model_fn(self.params, image[None])
+        kpts, valid = detection(score[0], self.detect_params)
+        return score[0], desc[0] if desc is not None else None, kpts, valid
+
+    def detect(self, image: np.ndarray):
+        return self._detect_jit(jnp.asarray(image))
+
+    def next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _warp(self, kpts, valid, wp):
+        if wp["mode"] == "homo":
+            return warp_homography(kpts, valid,
+                                   jnp.asarray(wp["homography_matrix"]),
+                                   wp["width"], wp["height"])
+        return warp_se3(kpts, valid, jnp.asarray(wp["pose01"]),
+                        jnp.asarray(wp["bbox0"]), jnp.asarray(wp["bbox1"]),
+                        jnp.asarray(wp["depth0"]), jnp.asarray(wp["depth1"]),
+                        jnp.asarray(wp["intrinsics0"]),
+                        jnp.asarray(wp["intrinsics1"]))
+
+    def _match(self, kpts0, valid0, kpts1, valid1, desc0, desc1, w, h,
+               imgs=None):
+        """Returns (m_pts0 [K,3], m_pts1 [K,>=2], mask) in normalized coords."""
+        if self.matcher_type == "light_glue" and \
+                self.lightglue_params is not None:
+            return lightglue_match(self.lightglue_params, kpts0, valid0,
+                                   kpts1, valid1, desc0, desc1, w, h,
+                                   self.desc_scale)
+        if self.matcher_type == "optical_flow":
+            src0, src1 = imgs if imgs is not None else (desc0, desc1)
+            tracked, _ = optical_flow(src0, src1, kpts0[:, 0:2], kpts0[:, 0:2],
+                                      self.next_key(), self.lk_params)
+            return kpts0, tracked, valid0
+        return brute_force_match(kpts0, valid0, kpts1, valid1, desc0, desc1,
+                                 self.bf_max_distance)
+
+    # ---------------- task loops ----------------
+
+    def run(self) -> dict:
+        ds = get_dataset(self.cfg.data_params)
+        task = self.cfg.task_type
+        fn = {
+            "repeatability": self._run_repeatability,
+            "MHA": self._run_mha,
+            "AUC": self._run_auc,
+            "FundamentalMatrix": self._run_fundamental,
+            "FundamentalMatrixRansac": self._run_fundamental_ransac,
+            "visual_odometer": self._run_vo,
+            "VisualizeTrackingError": self._run_tracking_error,
+        }.get(task)
+        if fn is None:
+            raise ValueError(f"unknown task_type {task!r}")
+        results = fn(ds)
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.output_dir, "results.json"), "w") as f:
+            json.dump({k: v for k, v in results.items()
+                       if isinstance(v, (int, float, str, list))}, f,
+                      indent=2, default=float)
+        return results
+
+    def _pair_maps(self, batch):
+        img0 = _crop32(np.asarray(batch["image0"], np.float32))
+        img1 = _crop32(np.asarray(batch["image1"], np.float32))
+        s0, d0, k0, v0 = self.detect(img0)
+        s1, d1, k1, v1 = self.detect(img1)
+        return img0, img1, s0, d0, k0, v0, s1, d1, k1, v1
+
+    def _run_repeatability(self, ds):
+        th = float(self.cfg.task_params.get("th", 3.0))
+        reps, errs, feats = [], [], []
+        for batch in _iter(ds):
+            _, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+            wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+            a0, a01, va = self._warp(k0, v0, wp01)
+            b0, b10, vb = self._warp(k1, v1, wp10)
+            scale = float(wp01.get("resize", wp01["width"]))
+            out = repeatability_pair(k0, v0, k1, v1, a0, a01, va, b0, b10, vb,
+                                     scale, th)
+            reps.append(float(out["repeatability"]))
+            errs.append(float(out["mean_error"]))
+            feats.append(int(out["num_feat"]))
+        errs = np.asarray(errs)
+        result = {
+            "repeatability": float(np.mean(reps)),
+            "rep_mean_err": float(np.mean(errs[~np.isnan(errs)]))
+            if len(errs) else float("nan"),
+            "num_feat": float(np.mean(feats)),
+            "per_pair_repeatability": reps,
+        }
+        print("repeatability", result["repeatability"],
+              " rep_mean_err", result["rep_mean_err"])
+        return result
+
+    def _run_mha(self, ds):
+        ths = tuple(self.cfg.task_params.get("th", [3, 5, 7]))
+        hits = []
+        for batch in _iter(ds):
+            img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+            wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+            a0, _, va = self._warp(k0, v0, wp01)
+            b0, _, vb = self._warp(k1, v1, wp10)
+            # brute-force on covisible sets (MHA.py:33-39); keep fixed-K rows,
+            # validity = covisible
+            m0, m1, ok = self._match(k0, va, k1, vb, d0, d1,
+                                     img0.shape[1], img0.shape[0])
+            out = mha_pair(m0, m1, ok, jnp.asarray(wp01["homography_matrix"]),
+                           wp01["width"], wp01["height"],
+                           img0.shape[0], img0.shape[1], self.next_key(),
+                           thresholds=ths)
+            hits.append(np.asarray(out))
+        result_arr = np.mean(np.stack(hits), axis=0)
+        result = {f"MHA@{t}": float(v) for t, v in zip(ths, result_arr)}
+        for t, v in zip(ths, result_arr):
+            print("MHA ", v)
+        result["per_pair"] = [list(map(float, h)) for h in hits]
+        return result
+
+    def _run_auc(self, ds):
+        ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
+        errors, inliers = [], []
+        for batch in _iter(ds):
+            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+            wp01 = batch["warp01_params"]
+            m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
+                                     img0.shape[1], img0.shape[0])
+            h0, w0 = img0.shape[0], img0.shape[1]
+            h1, w1 = img1.shape[0], img1.shape[1]
+            p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
+            p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
+            K0 = jnp.asarray(wp01["intrinsics0"])
+            K1 = jnp.asarray(wp01["intrinsics1"])
+            R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1,
+                                                     self.next_key())
+            if bool(okp):
+                err = float(pose_error(R, t, jnp.asarray(wp01["pose01"])))
+                errors.append(err)
+                inliers.append(int(n_in))
+            else:
+                errors.append(180.0)
+                inliers.append(0)
+        aucs = pose_auc(errors, ths)
+        result = {f"AUC@{t}": float(a) for t, a in zip(ths, aucs)}
+        result["AUC_inliers"] = float(np.mean(inliers))
+        for a in aucs:
+            print("AUC ", a)
+        print("AUC inliers", result["AUC_inliers"])
+        result["per_pair_error"] = errors
+        return result
+
+    def _iter_sequence(self, ds):
+        """Frame-delay pairing for sequence datasets (model_interface.py:217-
+        228): yields (prev_batch, batch) starting with (b0, b0)."""
+        last = None
+        for batch in _iter(ds):
+            if last is None:
+                last = batch
+            yield last, batch
+            last = batch
+
+    def _seq_maps(self, last, cur):
+        img0 = np.asarray(last["image0"], np.float32)
+        img1 = np.asarray(cur["image0"], np.float32)
+        s0, d0, k0, v0 = self.detect(img0)
+        s1, d1, k1, v1 = self.detect(img1)
+        return img0, img1, s0, d0, k0, v0, s1, d1, k1, v1
+
+    def _flow_sources(self, img0, img1, d0, d1):
+        """Reference matcher-input switch (model_interface.py:261-273): LK
+        tracks on raw images except for LETNet/GoodPoint which track on their
+        3-channel local descriptor maps."""
+        if self.cfg.model_type in ("LETNet", "GoodPoint"):
+            return d0, d1
+        return jnp.asarray(img0), jnp.asarray(img1)
+
+    def _run_fundamental(self, ds):
+        th = float(self.cfg.task_params.get("th", 3.0))
+        errs, radios, nums = [], [], []
+        for last, batch in self._iter_sequence(ds):
+            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                self._seq_maps(last, batch)
+            h, w = img1.shape[0], img1.shape[1]
+            if self.matcher_type == "optical_flow":
+                src0, src1 = self._flow_sources(img0, img1, d0, d1)
+                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
+                                         imgs=(src0, src1))
+            else:
+                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
+            scale = jnp.asarray([w - 1.0, h - 1.0])
+            p0 = m0[:, 0:2] * scale
+            p1 = m1[:, 0:2] * scale
+            out = fundamental_metrics(p0, p1, ok,
+                                      jnp.asarray(batch["fundamental"]), th)
+            errs.append(float(out["fundamental_error"]))
+            radios.append(float(out["fundamental_radio"]))
+            nums.append(int(out["fundamental_num"]))
+        result = {
+            "fundamental_error": float(np.mean(errs)),
+            "fundamental_radio": float(np.mean(radios)),
+            "fundamental_num": float(np.mean(nums)),
+            "per_frame_error": errs,
+        }
+        print("fundamental_error", result["fundamental_error"],
+              " fundamental_radio", result["fundamental_radio"],
+              " fundamental_num", result["fundamental_num"])
+        return result
+
+    def _run_fundamental_ransac(self, ds):
+        radios = []
+        for batch in _iter(ds):
+            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+            h, w = img0.shape[0], img0.shape[1]
+            m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
+            scale = jnp.asarray([w - 1.0, h - 1.0])
+            out = fundamental_ransac_ratio(m0[:, 0:2] * scale,
+                                           m1[:, 0:2] * scale, ok,
+                                           self.next_key())
+            radios.append(float(out["fundamental_radio"]))
+        result = {"fundamental_radio": float(np.mean(radios))}
+        print("fundamental_radio", result["fundamental_radio"])
+        return result
+
+    def _run_vo(self, ds):
+        rel_R, rel_t, oks, scales = [], [], [], []
+        for last, batch in self._iter_sequence(ds):
+            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                self._seq_maps(last, batch)
+            h, w = img1.shape[0], img1.shape[1]
+            if self.matcher_type == "optical_flow":
+                src0, src1 = self._flow_sources(img0, img1, d0, d1)
+                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
+                                         imgs=(src0, src1))
+                # LK has no cv2 status; validity = tracked point in bounds
+                inb = ((m1[:, 0] >= 0) & (m1[:, 0] <= 1)
+                       & (m1[:, 1] >= 0) & (m1[:, 1] <= 1))
+                ok = ok & inb
+            else:
+                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
+            scale_px = jnp.asarray([w - 1.0, h - 1.0])
+            R, t, n_in, okp = vo_pair_pose(
+                m0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
+                jnp.asarray(float(batch["fx"])),
+                jnp.asarray(float(batch["cx"])),
+                jnp.asarray(float(batch["cy"])), self.next_key())
+            rel_R.append(np.asarray(R))
+            rel_t.append(np.asarray(t))
+            oks.append(bool(okp))
+            gt = np.asarray(batch["ground_truth"])
+            gt_prev = np.asarray(batch["last_ground_truth"])
+            scales.append(float(np.linalg.norm(gt[0:3, 3] - gt_prev[0:3, 3])))
+        R_est, t_est = chain_poses(np.stack(rel_R), np.stack(rel_t),
+                                   np.asarray(oks), np.asarray(scales))
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        from keypoint_bench_tpu.tasks.vo import write_kitti_trajectory
+        traj = os.path.join(self.cfg.output_dir, "trajectory.txt")
+        write_kitti_trajectory(traj, R_est, t_est)
+        return {"num_frames": len(rel_R), "trajectory_path": traj,
+                "R_est": R_est, "t_est": t_est}
+
+    def _run_tracking_error(self, ds):
+        errs = []
+        for batch in _iter(ds):
+            img0 = _crop32(np.asarray(batch["image0"], np.float32))
+            img1 = _crop32(np.asarray(batch["image1"], np.float32))
+            s0, d0, k0, v0 = self.detect(img0)
+            s1, d1, k1, v1 = self.detect(img1)
+            wp01 = batch.get("warp01_params")
+            src0, src1 = self._flow_sources(img0, img1, d0, d1)
+            if wp01 is not None:
+                a0, a01, va = self._warp(k0, v0, wp01)
+                tracked, _ = optical_flow(src0, src1, a0, a01,
+                                          self.next_key(), self.lk_params)
+                scale = jnp.asarray([img0.shape[1] - 1.0,
+                                     img0.shape[0] - 1.0])
+                err = jnp.linalg.norm((a01 - tracked) * scale, axis=1)
+                n = jnp.maximum(jnp.sum(va), 1)
+                errs.append(float(jnp.sum(jnp.where(va, err, 0.0)) / n))
+            else:
+                errs.append(0.0)
+        result = {"track_error": float(np.mean(errs)), "per_pair": errs}
+        print("track_error", result["track_error"])
+        return result
+
+
+def _iter(ds):
+    for i in range(len(ds)):
+        yield ds[i]
+
+
+def run_eval(config: dict | EvalConfig) -> dict:
+    if isinstance(config, dict):
+        config = EvalConfig.from_dict(config)
+    return Evaluator(config).run()
