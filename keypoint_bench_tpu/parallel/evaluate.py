@@ -1,0 +1,89 @@
+"""Sharded batched evaluation: the full detect -> warp -> match -> solve ->
+metric pipeline over a batch of pairs, pairs sharded on the mesh 'data' axis,
+metric reduction via collectives (replaces the reference's per-pair Python
+lists, model_interface.py:104-117, and its batch_size=1 single-device loop).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from keypoint_bench_tpu.geometry.ransac import ransac_homography
+from keypoint_bench_tpu.geometry.warp import warp_homography
+from keypoint_bench_tpu.ops.detect import DetectParams, detection
+from keypoint_bench_tpu.ops.matching import brute_force_match
+from keypoint_bench_tpu.tasks.repeatability import repeatability_pair
+
+
+def _pair_pipeline(model_fn, params, detect_params, img0, img1, H, Hinv,
+                   width, height, scale, key):
+    """One pair, fully on device: model x2 -> detect x2 -> warp both ways ->
+    repeatability metrics; BF match -> RANSAC homography -> corner error."""
+    score0, desc0 = model_fn(params, img0[None])
+    score1, desc1 = model_fn(params, img1[None])
+    k0, v0 = detection(score0[0], detect_params)
+    k1, v1 = detection(score1[0], detect_params)
+
+    a0, a01, va = warp_homography(k0, v0, H, width, height)
+    b0, b10, vb = warp_homography(k1, v1, Hinv, width, height)
+    rep = repeatability_pair(k0, v0, k1, v1, a0, a01, va, b0, b10, vb,
+                             scale, 3.0)
+
+    if desc0 is not None:
+        m0, m1, ok = brute_force_match(k0, va, k1, vb, desc0[0], desc1[0],
+                                       5.0)
+        s = jnp.stack([width - 1.0, height - 1.0])
+        H_est, inl, ok_h = ransac_homography(m0[:, 0:2] * s, m1[:, 0:2] * s,
+                                             ok, key, n_hyp=256)
+        n_inl = jnp.where(ok_h, jnp.sum(inl), 0)
+    else:
+        n_inl = jnp.zeros((), jnp.int32)
+    return {
+        "repeatability": rep["repeatability"],
+        "num_feat": rep["num_feat"],
+        "gt_num": rep["gt_num"],
+        "homography_inliers": n_inl,
+    }
+
+
+def batched_repeatability_step(model_fn, params, detect_params: DetectParams,
+                               imgs0, imgs1, Hs, Hinvs, sizes, scales, keys):
+    """vmapped pair pipeline over the leading batch axis + mean reduction.
+    Designed to be jitted with batch sharded over the 'data' mesh axis —
+    XLA lowers the final means to psum-style collectives over ICI."""
+    fn = functools.partial(_pair_pipeline, model_fn, params, detect_params)
+    out = jax.vmap(
+        lambda i0, i1, H, Hi, sz, sc, k: fn(i0, i1, H, Hi, sz[0], sz[1], sc, k)
+    )(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
+    return {
+        "repeatability": jnp.mean(out["repeatability"]),
+        "num_feat": jnp.mean(out["num_feat"].astype(jnp.float32)),
+        "gt_num_total": jnp.sum(out["gt_num"]),
+        "homography_inliers": jnp.mean(
+            out["homography_inliers"].astype(jnp.float32)),
+    }
+
+
+def sharded_eval_step(mesh, model_fn, params, detect_params: DetectParams):
+    """Build a jitted, mesh-sharded batched eval step.
+
+    Inputs shard over 'data' on their leading axis; params replicate; the
+    scalar outputs are fully reduced (the compiler inserts the cross-device
+    psums). Returns fn(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)."""
+    data_sh = lambda ndim: NamedSharding(mesh, P("data", *[None] * (ndim - 1)))
+    repl = NamedSharding(mesh, P())
+
+    def step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys):
+        return batched_repeatability_step(model_fn, params, detect_params,
+                                          imgs0, imgs1, Hs, Hinvs, sizes,
+                                          scales, keys)
+
+    return jax.jit(
+        step,
+        in_shardings=(data_sh(4), data_sh(4), data_sh(3), data_sh(3),
+                      data_sh(2), data_sh(1), data_sh(1)),
+        out_shardings={"repeatability": repl, "num_feat": repl,
+                       "gt_num_total": repl, "homography_inliers": repl})
