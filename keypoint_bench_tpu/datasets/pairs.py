@@ -14,6 +14,15 @@ from pathlib import Path
 import numpy as np
 
 
+def _pnm_size(path):
+    """(width, height) from a P5/P6 header without decoding pixels."""
+    with open(path, "rb") as f:
+        data = f.read(256).split()
+    assert data[0] in (b"P5", b"P6"), path
+    vals = [t for t in data[1:] if not t.startswith(b"#")]
+    return int(vals[0]), int(vals[1])
+
+
 def _imread_rgb(path, gray=False):
     import cv2
     img = cv2.imread(str(path), cv2.IMREAD_COLOR)
@@ -29,10 +38,16 @@ class HPatchesDataset:
     resized to image_size^2 (reference datasets/hpatches.py)."""
 
     def __init__(self, root: str, alteration: str = "all",
-                 image_size: int = 512, gray: bool = False):
+                 image_size: int = 512, gray: bool = False,
+                 use_native: bool = True):
         assert Path(root).exists(), f"dataset root {root} does not exist"
         self.image_size = image_size
         self.gray = gray
+        # native C++ PPM decode+resize pipeline when available (runtime/)
+        self.use_native = use_native and not gray
+        if self.use_native:
+            from keypoint_bench_tpu.runtime import native_available
+            self.use_native = native_available()
         self.items = []
         for folder in sorted(p for p in Path(root).iterdir() if p.is_dir()):
             if alteration in ("i", "v") and folder.stem[0] != alteration:
@@ -46,15 +61,23 @@ class HPatchesDataset:
         return len(self.items)
 
     def __getitem__(self, idx):
-        import cv2
         p0, p1, hp = self.items[idx]
-        img0 = _imread_rgb(p0, self.gray)
-        img1 = _imread_rgb(p1, self.gray)
-        h0, w0 = img0.shape[:2]
-        h1, w1 = img1.shape[:2]
         s = self.image_size
-        img0 = cv2.resize(img0, (s, s)).reshape(s, s, -1)
-        img1 = cv2.resize(img1, (s, s)).reshape(s, s, -1)
+        if self.use_native:
+            from keypoint_bench_tpu.runtime import load_pnm_resized
+            # original sizes from the PNM header (cheap text read)
+            w0, h0 = _pnm_size(p0)
+            w1, h1 = _pnm_size(p1)
+            img0 = load_pnm_resized(str(p0), s, s)
+            img1 = load_pnm_resized(str(p1), s, s)
+        else:
+            import cv2
+            img0 = _imread_rgb(p0, self.gray)
+            img1 = _imread_rgb(p1, self.gray)
+            h0, w0 = img0.shape[:2]
+            h1, w1 = img1.shape[:2]
+            img0 = cv2.resize(img0, (s, s)).reshape(s, s, -1)
+            img1 = cv2.resize(img1, (s, s)).reshape(s, s, -1)
         H = np.loadtxt(hp).astype("float32")
         return {
             "image0": img0, "image1": img1,
