@@ -29,8 +29,12 @@ def main():
     from keypoint_bench_tpu.ops.matching import brute_force_match
     from keypoint_bench_tpu.weights import load_params
 
+    from keypoint_bench_tpu.models.common import cast_params_bf16
+
     model_fn = get_model("Alike")
     params = load_params("Alike")
+    if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
+        params = cast_params_bf16(params)  # bf16 MXU path, f32 accumulate
     dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)
 
     def pair_step(img0, img1):

@@ -118,6 +118,22 @@ def warp_se3(kpts01: jnp.ndarray, valid: jnp.ndarray, pose01: jnp.ndarray,
     return p0 / scale0, uv1 / scale1, out_valid
 
 
+def dense_grid(h: int, w: int) -> jnp.ndarray:
+    """Pixel-center grid [(x, y)] over the full image, normalized to [0,1]
+    (reference utils/projection.py:170-175 warp_dense grid)."""
+    xs = jnp.linspace(1 / w / 2, 1 - 1 / w / 2, w)
+    ys = jnp.linspace(1 / h / 2, 1 - 1 / h / 2, h)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)
+
+
+def warp_dense(h: int, w: int, warp_params: dict):
+    """Warp every pixel center (reference utils/projection.py:170-182).
+    Returns (pts0 [HW,2], pts01 [HW,2], valid [HW])."""
+    pts = dense_grid(h, w)
+    return warp_points(pts, jnp.ones(pts.shape[0], bool), warp_params)
+
+
 def warp_points(kpts: jnp.ndarray, valid: jnp.ndarray, warp_params: dict):
     """Mode dispatch mirroring reference utils/projection.py:185-192."""
     mode = warp_params["mode"]

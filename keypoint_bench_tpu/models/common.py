@@ -27,6 +27,10 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     """x [B,H,W,Ci], w [kh,kw,Ci/groups,Co] (HWIO)."""
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    if x.dtype != w.dtype:
+        # mixed precision: bf16 weights pull activations onto the bf16 MXU
+        # path; accumulation stays f32 via preferred_element_type
+        x = x.astype(w.dtype)
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     y = lax.conv_general_dilated(
         x, w, (stride, stride), padding,
@@ -37,6 +41,14 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     if b is not None:
         y = y + b
     return y
+
+
+def cast_params_bf16(params: dict) -> dict:
+    """Cast conv/linear kernels (rank >= 2) to bf16 for MXU throughput; BN
+    stats, biases and other vectors stay f32 so normalization math keeps
+    full precision."""
+    return {k: (v.astype(jnp.bfloat16) if v.ndim >= 2 else v)
+            for k, v in params.items()}
 
 
 def bn_eval(x: jnp.ndarray, gamma, beta, mean, var, eps: float = 1e-5):

@@ -144,3 +144,25 @@ def optical_flow(img1: jnp.ndarray, img2: jnp.ndarray,
 
     err = jnp.minimum(jnp.linalg.norm(pts_pre - p2, axis=1), 8.0)
     return pts_pre / scale, err
+
+
+def optical_flow_cv(img0, img1, pts0, pts1, win_size: int = 15,
+                    levels: int = 3):
+    """cv2.calcOpticalFlowPyrLK host-side path (reference
+    utils/matcher.py:145-185 `optical_flow_cv`): OPTFLOW_USE_INITIAL_FLOW,
+    returns (tracked pts in [0,1], status). Numpy in/out; used for
+    cross-validation of the native LK and as an optional CPU matcher."""
+    import cv2
+    import numpy as np
+    h, w = img0.shape[0], img0.shape[1]
+    scale = np.array([w - 1.0, h - 1.0], np.float32)
+    p0 = (np.asarray(pts0[:, 0:2]) * scale).astype(np.float32)
+    p1 = (np.asarray(pts1[:, 0:2]) * scale).astype(np.float32)
+    u0 = (np.asarray(img0) * 255).astype(np.uint8)
+    u1 = (np.asarray(img1) * 255).astype(np.uint8)
+    lk = dict(winSize=(win_size, win_size), maxLevel=levels,
+              flags=cv2.OPTFLOW_USE_INITIAL_FLOW,
+              criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT,
+                        10, 0.03))
+    tracked, status, _ = cv2.calcOpticalFlowPyrLK(u0, u1, p0, p1.copy(), **lk)
+    return tracked / scale, status.reshape(-1)

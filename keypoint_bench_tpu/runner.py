@@ -53,6 +53,7 @@ class EvalConfig:
     weights_dir: str | None = None
     output_dir: str = "output"
     seed: int = 0
+    precision: str = "float32"  # "float32" | "bfloat16" (model conv weights)
 
     @classmethod
     def from_dict(cls, d: dict) -> "EvalConfig":
@@ -74,6 +75,9 @@ class Evaluator:
                                {"block_size": 5, "ksize": 3, "k": 0.04})
         else:
             self.params = load_params(cfg.model_type, cfg.weights_dir)
+            if cfg.precision == "bfloat16":
+                from keypoint_bench_tpu.models.common import cast_params_bf16
+                self.params = cast_params_bf16(self.params)
         ep = cfg.extractor_params
         self.detect_params = DetectParams(
             nms_dist=int(ep.get("nms_dist", 4)),
