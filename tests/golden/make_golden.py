@@ -65,6 +65,23 @@ def install_stubs():
                  "pytorch_lightning", "skimage", "skimage.feature"):
         if name not in sys.modules:
             sys.modules[name] = types.ModuleType(name)
+
+    def match_descriptors(d0, d1, metric="euclidean", max_distance=np.inf,
+                          cross_check=True):
+        """skimage.feature.match_descriptors semantics (numpy oracle)."""
+        dist = np.linalg.norm(d0[:, None] - d1[None], axis=2)
+        nn01 = dist.argmin(1)
+        nn10 = dist.argmin(0)
+        idx = np.arange(len(d0))
+        keep = np.ones(len(d0), bool)
+        if cross_check:
+            keep &= nn10[nn01] == idx
+        if np.isfinite(max_distance):
+            keep &= dist[idx, nn01] < max_distance
+        return np.stack([idx[keep], nn01[keep]], axis=1)
+
+    sys.modules["skimage"].feature = sys.modules["skimage.feature"]
+    sys.modules["skimage.feature"].match_descriptors = match_descriptors
     # kornia pieces used by KeyNet
     import torch.nn.functional as F
 
