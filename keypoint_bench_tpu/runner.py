@@ -54,6 +54,8 @@ class EvalConfig:
     output_dir: str = "output"
     seed: int = 0
     precision: str = "float32"  # "float32" | "bfloat16" (model conv weights)
+    debug_nans: bool = False    # jax.debug_nans around the whole run
+    resume: bool = False        # skip pairs already in progress.jsonl
 
     @classmethod
     def from_dict(cls, d: dict) -> "EvalConfig":
@@ -64,6 +66,41 @@ class EvalConfig:
         import yaml
         with open(path) as f:
             return cls.from_dict(yaml.safe_load(f))
+
+
+class MetricLog:
+    """Incremental per-sample metric journal enabling crash resume
+    (SURVEY.md §5.4: resume = re-entering the eval loop at sample k; the
+    reference has no resume story at all)."""
+
+    def __init__(self, output_dir: str, resume: bool):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "progress.jsonl")
+        self.done: dict[int, dict] = {}
+        if resume and os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        self.done[rec["i"]] = rec
+                    except (json.JSONDecodeError, KeyError):
+                        pass
+        elif os.path.exists(self.path):
+            os.remove(self.path)
+        self._f = open(self.path, "a")
+
+    def get(self, i: int):
+        return self.done.get(i)
+
+    def put(self, i: int, rec: dict):
+        rec = {"i": i, **{k: (float(v) if not isinstance(v, (str, int))
+                              else v) for k, v in rec.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        return rec
+
+    def close(self):
+        self._f.close()
 
 
 class Evaluator:
@@ -166,7 +203,11 @@ class Evaluator:
         }.get(task)
         if fn is None:
             raise ValueError(f"unknown task_type {task!r}")
-        results = fn(ds)
+        if self.cfg.debug_nans:
+            with jax.debug_nans(True):
+                results = fn(ds)
+        else:
+            results = fn(ds)
         os.makedirs(self.cfg.output_dir, exist_ok=True)
         with open(os.path.join(self.cfg.output_dir, "results.json"), "w") as f:
             json.dump({k: v for k, v in results.items()
@@ -183,18 +224,25 @@ class Evaluator:
 
     def _run_repeatability(self, ds):
         th = float(self.cfg.task_params.get("th", 3.0))
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         reps, errs, feats = [], [], []
-        for batch in _iter(ds):
-            _, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
-            wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
-            a0, a01, va = self._warp(k0, v0, wp01)
-            b0, b10, vb = self._warp(k1, v1, wp10)
-            scale = float(wp01.get("resize", wp01["width"]))
-            out = repeatability_pair(k0, v0, k1, v1, a0, a01, va, b0, b10, vb,
-                                     scale, th)
-            reps.append(float(out["repeatability"]))
-            errs.append(float(out["mean_error"]))
-            feats.append(int(out["num_feat"]))
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is None:
+                _, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+                wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+                a0, a01, va = self._warp(k0, v0, wp01)
+                b0, b10, vb = self._warp(k1, v1, wp10)
+                scale = float(wp01.get("resize", wp01["width"]))
+                out = repeatability_pair(k0, v0, k1, v1, a0, a01, va,
+                                         b0, b10, vb, scale, th)
+                rec = log.put(i, {"repeatability": out["repeatability"],
+                                  "mean_error": out["mean_error"],
+                                  "num_feat": int(out["num_feat"])})
+            reps.append(rec["repeatability"])
+            errs.append(rec["mean_error"])
+            feats.append(rec["num_feat"])
+        log.close()
         errs = np.asarray(errs)
         result = {
             "repeatability": float(np.mean(reps)),
