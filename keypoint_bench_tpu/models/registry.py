@@ -19,7 +19,7 @@ def get_model(name: str):
         import importlib
         for mod in ("alike", "letnet", "goodpoint", "superpoint", "xfeat",
                     "edgepoint", "keynet", "harris", "disk", "r2d2", "sfd2",
-                    "d2net", "lightglue"):
+                    "d2net", "lightglue", "orb", "sift"):
             full = f"keypoint_bench_tpu.models.{mod}"
             try:
                 importlib.import_module(full)

@@ -107,9 +107,8 @@ class Evaluator:
     def __init__(self, cfg: EvalConfig):
         self.cfg = cfg
         self.model_fn = get_model(cfg.model_type)
-        if cfg.model_type == "Harris":
-            self.params = dict(cfg.model_params or
-                               {"block_size": 5, "ksize": 3, "k": 0.04})
+        if cfg.model_type in ("Harris", "ORB", "SIFT"):
+            self.params = dict(cfg.model_params or {})
         else:
             self.params = load_params(cfg.model_type, cfg.weights_dir)
             if cfg.precision == "bfloat16":
@@ -322,10 +321,19 @@ class Evaluator:
             last = batch
 
     def _seq_maps(self, last, cur):
+        """Detect on (prev, cur); the prev frame's maps are cached from the
+        previous step (the reference recomputes both every step —
+        model_interface.py:220-223, SURVEY.md §3.3 notes the 2x redundancy;
+        results are identical, this is pure throughput)."""
         img0 = np.asarray(last["image0"], np.float32)
         img1 = np.asarray(cur["image0"], np.float32)
-        s0, d0, k0, v0 = self.detect(img0)
+        cache = getattr(self, "_seq_cache", None)
+        if cache is not None and cache[0] is last:
+            s0, d0, k0, v0 = cache[1]
+        else:
+            s0, d0, k0, v0 = self.detect(img0)
         s1, d1, k1, v1 = self.detect(img1)
+        self._seq_cache = (cur, (s1, d1, k1, v1))
         return img0, img1, s0, d0, k0, v0, s1, d1, k1, v1
 
     def _flow_sources(self, img0, img1, d0, d1):
