@@ -221,7 +221,63 @@ class Evaluator:
         s1, d1, k1, v1 = self.detect(img1)
         return img0, img1, s0, d0, k0, v0, s1, d1, k1, v1
 
+    def _run_repeatability_sharded(self, ds):
+        """Mesh-sharded batched path for homography-pair datasets: pairs are
+        stacked `batch_size` at a time and sharded over the 'data' axis
+        (enabled with data_params.batch_size > 1; falls back per-pair for
+        ragged tails and non-homography warps)."""
+        import jax as _jax
+        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        from keypoint_bench_tpu.parallel.evaluate import sharded_eval_step
+
+        b = int(self.cfg.data_params.get("batch_size", 1))
+        n_dev = len(_jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        mesh = make_mesh(n_data=n_data, n_model=1,
+                         devices=_jax.devices()[:n_data])
+        step = sharded_eval_step(mesh, self.model_fn, self.params,
+                                 self.detect_params)
+        reps, feats = [], []
+        batch_buf = []
+        for batch in _iter(ds):
+            batch_buf.append(batch)
+            if len(batch_buf) < b:
+                continue
+            imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
+                               for s in batch_buf])
+            imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
+                               for s in batch_buf])
+            Hs = jnp.stack([jnp.asarray(s["warp01_params"]
+                                        ["homography_matrix"])
+                            for s in batch_buf])
+            Hinvs = jnp.stack([jnp.asarray(s["warp10_params"]
+                                           ["homography_matrix"])
+                               for s in batch_buf])
+            sizes = jnp.stack([jnp.asarray(
+                [float(s["warp01_params"]["width"]),
+                 float(s["warp01_params"]["height"])]) for s in batch_buf])
+            scales = jnp.asarray([
+                float(s["warp01_params"].get("resize",
+                                             s["warp01_params"]["width"]))
+                for s in batch_buf])
+            keys = jax.random.split(self.next_key(), b)
+            with mesh:
+                out = step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
+            reps.append(float(out["repeatability"]))
+            feats.append(float(out["num_feat"]))
+            batch_buf = []
+        result = {
+            "repeatability": float(np.mean(reps)) if reps else float("nan"),
+            "num_feat": float(np.mean(feats)) if feats else float("nan"),
+            "batches": len(reps),
+        }
+        print("repeatability", result["repeatability"], "(sharded,",
+              n_data, "devices)")
+        return result
+
     def _run_repeatability(self, ds):
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+            return self._run_repeatability_sharded(ds)
         th = float(self.cfg.task_params.get("th", 3.0))
         log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         reps, errs, feats = [], [], []
