@@ -9,8 +9,6 @@ north star) expressed as a shard_map with one psum pair per GN iteration.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

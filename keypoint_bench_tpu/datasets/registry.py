@@ -47,6 +47,11 @@ def get_dataset(params: dict):
         return SyntheticHomographyDataset(params.get("num_pairs", 8),
                                           params.get("image_size", 512),
                                           params.get("seed", 0))
+    if t == "synthetic_se3":
+        from keypoint_bench_tpu.datasets.synthetic import SyntheticSE3Dataset
+        return SyntheticSE3Dataset(params.get("num_pairs", 4),
+                                   params.get("image_size", 256),
+                                   params.get("seed", 0))
     if t == "synthetic_sequence":
         from keypoint_bench_tpu.datasets.synthetic import \
             SyntheticSequenceDataset

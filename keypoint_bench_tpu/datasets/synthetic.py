@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from keypoint_bench_tpu.geometry import se3
 from keypoint_bench_tpu.datasets.sequences import _fundamentals_from_poses
 
 
@@ -79,6 +78,130 @@ class SyntheticHomographyDataset:
                                   np.linalg.inv(H).astype("float32"),
                               "resize": s},
             "dataset": "HPatches",
+        }
+
+
+class SyntheticSE3Dataset:
+    """MegaDepth-contract pairs rendered from a true 3D gaussian-splat scene:
+    random 3D blobs z-buffer-splatted into two cameras with a relative
+    rotation+translation, exact per-pixel depth maps from the z-buffer.
+    Gives genuine parallax, so essential-matrix tasks (AUC) are exercisable
+    without MegaDepth on disk."""
+
+    def __init__(self, num_pairs: int = 4, image_size: int = 256,
+                 seed: int = 0, n_blobs: int = 900):
+        self.n = num_pairs
+        self.s = image_size
+        self.seed = seed
+        self.n_blobs = n_blobs
+        f = image_size * 0.9
+        self.K = np.array([[f, 0, image_size / 2],
+                           [0, f, image_size / 2], [0, 0, 1]], np.float32)
+
+    def __len__(self):
+        return self.n
+
+    _BG_DEPTHS = (30.0, 14.0)  # far full plane + nearer left-half plane:
+    # two planes at different depths break the single-homography (planar)
+    # degeneracy that would make essential estimation ill-posed
+
+    def _plane(self, tex, R, t, d):
+        """One textured fronto-parallel plane at depth d (cam0 frame) rendered
+        into camera (R, t): (image, exact depth, cam0-visibility mask)."""
+        s = self.s
+        n = np.array([0.0, 0.0, 1.0])
+        H = self.K @ (R + np.outer(t, n) / d) @ np.linalg.inv(self.K)
+        img = _warp_image(tex, np.linalg.inv(H))
+        ys, xs = np.mgrid[0:s, 0:s]
+        p1 = np.stack([xs.ravel(), ys.ravel(), np.ones(s * s)], axis=1)
+        p0 = p1 @ np.linalg.inv(H).T
+        p0 = p0 / p0[:, 2:]
+        inb = ((p0[:, 0] >= 0) & (p0[:, 0] <= s - 1)
+               & (p0[:, 1] >= 0) & (p0[:, 1] <= s - 1)).reshape(s, s)
+        ray0 = p0 @ np.linalg.inv(self.K).T
+        X0 = ray0 * (d / ray0[:, 2:])
+        X1 = X0 @ R.T + t
+        depth = X1[:, 2].reshape(s, s).astype(np.float32)
+        return img, depth, inb & (p0[:, 0].reshape(s, s) < s / 2)
+
+    def _background(self, tex, R, t):
+        s = self.s
+        d_far, d_near = self._BG_DEPTHS
+        img, depth, _ = self._plane(tex, R, t, d_far)
+        # nearer plane occupies the left half of the cam0 view, with a
+        # different texture crop so it is visually distinct
+        tex2 = np.roll(tex, (s // 3, s // 3), axis=(0, 1))
+        img2, depth2, mask2 = self._plane(tex2, R, t, d_near)
+        m = mask2[..., None]
+        img = np.where(m, img2, img)
+        depth = np.where(mask2, depth2, depth)
+        return img, depth
+
+    def _render(self, X, colors, R, t, tex):
+        """Splat 3D points X [N,3] over the textured far plane with a
+        z-buffer. Returns (image [S,S,3], depth [S,S])."""
+        s = self.s
+        img, depth = self._background(tex, R, t)
+        zbuf = depth.copy()
+        Xc = X @ R.T + t
+        z = Xc[:, 2]
+        front = z > 0.5
+        uv = (Xc / np.maximum(z[:, None], 1e-6)) @ self.K.T
+        order = np.argsort(-z)  # far to near; near overwrites
+        rad = 4
+        for i in order:
+            if not front[i]:
+                continue
+            u, v = uv[i, 0], uv[i, 1]
+            if not (rad <= u < s - rad and rad <= v < s - rad):
+                continue
+            ui, vi = int(u), int(v)
+            ys, xs = np.mgrid[vi - rad: vi + rad + 1, ui - rad: ui + rad + 1]
+            g = np.exp(-((ys - v) ** 2 + (xs - u) ** 2) / (2 * 1.8 ** 2))
+            img[ys, xs] = (1 - g[..., None]) * img[ys, xs] \
+                + g[..., None] * colors[i]
+            closer = z[i] < zbuf[ys, xs]
+            sel = (g > 0.1) & closer
+            depth[ys, xs] = np.where(sel, z[i], depth[ys, xs])
+            zbuf[ys, xs] = np.where(sel, z[i], zbuf[ys, xs])
+        return img, depth
+
+    def __getitem__(self, idx):
+        import cv2
+        rng = np.random.default_rng(self.seed + 31 * idx)
+        # wide depth range so the scene is strongly non-planar (a planar-
+        # dominant point set makes essential estimation degenerate)
+        X = np.concatenate([rng.uniform(-4, 4, (self.n_blobs, 2)),
+                            rng.uniform(4, 20, (self.n_blobs, 1))], axis=1)
+        colors = rng.uniform(0.3, 1.0, (self.n_blobs, 3)).astype(np.float32)
+        R0 = np.eye(3)
+        t0 = np.zeros(3)
+        aa = rng.normal(0, 0.03, 3)
+        R1, _ = cv2.Rodrigues(aa)
+        t1 = np.array([rng.uniform(0.3, 0.7), rng.uniform(-0.2, 0.2),
+                       rng.uniform(-0.1, 0.1)])
+        # dim, low-contrast background so detections concentrate on blobs
+        tex = _texture(self.s, self.s, rng) * 0.15
+        img0, depth0 = self._render(X, colors, R0, t0, tex)
+        img1, depth1 = self._render(X, colors, R1, t1, tex)
+        T0 = np.eye(4); T0[:3, :3] = R0; T0[:3, 3] = t0
+        T1 = np.eye(4); T1[:3, :3] = R1; T1[:3, 3] = t1
+        pose01 = (T1 @ np.linalg.inv(T0)).astype(np.float32)
+        pose10 = np.linalg.inv(pose01).astype(np.float32)
+        z2 = np.zeros(2, np.float32)
+        return {
+            "image0": img0, "image1": img1,
+            "warp01_params": {"mode": "se3", "width": self.s,
+                              "height": self.s, "pose01": pose01,
+                              "bbox0": z2, "bbox1": z2, "depth0": depth0,
+                              "depth1": depth1, "intrinsics0": self.K,
+                              "intrinsics1": self.K},
+            "warp10_params": {"mode": "se3", "width": self.s,
+                              "height": self.s, "pose01": pose10,
+                              "bbox0": z2, "bbox1": z2, "depth0": depth1,
+                              "depth1": depth0, "intrinsics0": self.K,
+                              "intrinsics1": self.K},
+            "dataset": "megaDepth",
         }
 
 

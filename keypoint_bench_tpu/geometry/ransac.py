@@ -231,8 +231,16 @@ def ransac_essential(p0n, p1n, mask, key, n_hyp: int = 512,
     inl = (res < thresh) & mask[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    w = inl[best].astype(jnp.float32)
-    E = _essential_project(_solve_eightpoint(p0n, p1n, w))
+
+    # iterated inlier refit (LO-RANSAC flavour): an 8-point minimal sample
+    # is much noisier than cv2's 5-point, so polish the consensus set
+    def refit(_, carry):
+        w, _E = carry
+        E = _essential_project(_solve_eightpoint(p0n, p1n, w))
+        w = ((_sampson(E, p0n, p1n) < thresh) & mask).astype(jnp.float32)
+        return w, E
+    w0 = inl[best].astype(jnp.float32)
+    w, E = jax.lax.fori_loop(0, 3, refit, (w0, Es[best]))
     final_inl = (_sampson(E, p0n, p1n) < thresh) & mask
     ok = (jnp.sum(mask) >= 8) & (counts[best] >= 8)
     return E, final_inl, ok

@@ -6,7 +6,6 @@ head upsampled to full res and quantized to {0.1, 0.5, 1.0}, multiplying the
 score map."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from keypoint_bench_tpu.models import common as c

@@ -12,12 +12,10 @@ a `shard_map` over the mesh with psums over 'model'.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from keypoint_bench_tpu.models.lightglue import (_assignment_scores, _ffn,

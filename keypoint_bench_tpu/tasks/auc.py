@@ -18,7 +18,7 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def estimate_pose_pair(m_pts0, m_pts1, match_mask, K0, K1, key,
-                       thresh_px: float = 1.0, n_hyp: int = 1024):
+                       thresh_px: float = 1.0, n_hyp: int = 4096):
     """m_pts0/1 [K,2] matched pixel coords; returns (R [3,3], t [3],
     inlier_mask [K], n_inliers, ok)."""
     f_mean = (K0[0, 0] + K1[1, 1] + K0[0, 0] + K1[1, 1]) / 4.0  # AUC.py:45

@@ -20,7 +20,7 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def vo_pair_pose(m_pts0_px, m_pts1_px, match_mask, fx, cx, cy, key,
-                 n_hyp: int = 1024, thresh_px: float = 1.0):
+                 n_hyp: int = 4096, thresh_px: float = 1.0):
     """Relative pose for one frame pair from matched pixel coords.
     Single-focal pinhole like cv2.findEssentialMat(focal, pp)
     (visual_odometer.py:75-79). Returns (R, t, n_inliers, ok)."""
