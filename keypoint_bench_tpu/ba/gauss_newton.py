@@ -51,11 +51,17 @@ def _hat(v):
 
 
 def _exp_so3(phi):
-    th = jnp.linalg.norm(phi) + 1e-12
-    a = phi / th
-    A = _hat(a)
-    return (jnp.eye(3) + jnp.sin(th) * A
-            + (1 - jnp.cos(th)) * _mm(A, A))
+    """Rodrigues with Taylor-safe small-angle branch (double-where so
+    autodiff through theta=0 stays finite — jacfwd runs through here in
+    pose-graph optimization)."""
+    th2 = jnp.sum(phi * phi)
+    small = th2 < 1e-10
+    th2_safe = jnp.where(small, 1.0, th2)
+    th = jnp.sqrt(th2_safe)
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2_safe)
+    Ph = _hat(phi)
+    return jnp.eye(3) + A * Ph + B * _mm(Ph, Ph)
 
 
 def _project(K, Xc):
