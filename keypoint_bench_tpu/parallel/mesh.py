@@ -29,3 +29,20 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host bring-up: `jax.distributed.initialize` wrapper (the
+    NCCL/MPI-equivalent backend of SURVEY.md §2.7 — one call per host before
+    any mesh construction; afterwards jax.devices() spans the slice and the
+    same pjit/shard_map code runs over ICI+DCN). On single-host
+    environments (like this one) it is a no-op unless a coordinator is
+    given."""
+    import jax
+    if coordinator is None and num_processes is None:
+        return  # single host
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
