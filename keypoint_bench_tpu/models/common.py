@@ -29,15 +29,19 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         padding = [(padding, padding), (padding, padding)]
     if x.dtype != w.dtype:
         # mixed precision: bf16 weights pull activations onto the bf16 MXU
-        # path; accumulation stays f32 via preferred_element_type
+        # path; MXU accumulation is f32 internally either way
         x = x.astype(w.dtype)
+    # bf16 weights => store the activation in bf16 too: full-res conv nets
+    # here are HBM-bandwidth-bound, so halving activation bytes is the
+    # dominant lever (f32 mode keeps exact f32 storage for parity tests)
+    out_dtype = jnp.bfloat16 if w.dtype == jnp.bfloat16 else jnp.float32
     dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     y = lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         rhs_dilation=(dilation, dilation), dimension_numbers=dn,
         feature_group_count=groups,
         precision=_CONV_PRECISION[0],
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
     if b is not None:
         y = y + b
     return y
@@ -52,9 +56,12 @@ def cast_params_bf16(params: dict) -> dict:
 
 
 def bn_eval(x: jnp.ndarray, gamma, beta, mean, var, eps: float = 1e-5):
-    """BatchNorm inference transform: (x - mean) * rsqrt(var+eps) * gamma + beta."""
+    """BatchNorm inference transform: (x - mean) * rsqrt(var+eps) * gamma +
+    beta. Normalization math runs in f32 (stats stay f32 in bf16 mode); the
+    result is stored back in the activation dtype."""
     inv = lax.rsqrt(var + eps)
-    return (x - mean) * inv * gamma + beta
+    y = (x.astype(jnp.float32) - mean) * inv * gamma + beta
+    return y.astype(x.dtype)
 
 
 def instance_norm(x: jnp.ndarray, gamma=None, beta=None, eps: float = 1e-5):
@@ -110,29 +117,32 @@ def _interp_matrix(n_out: int, n_in: int):
     return A
 
 
+def _interp_apply(x, Ah, Aw):
+    if x.dtype == jnp.bfloat16:
+        Ah = jnp.asarray(Ah, jnp.bfloat16)
+        Aw = jnp.asarray(Aw, jnp.bfloat16)
+        hp = None
+    else:
+        hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision=hp)
+    return jnp.einsum("ow,bhwc->bhoc", Aw, y, precision=hp)
+
+
 def upsample_bilinear_align(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """torch nn.Upsample(scale_factor=f, mode='bilinear', align_corners=True)
     for NHWC, implemented as two dense interpolation matmuls (MXU-friendly,
     no gather)."""
     b, h, w, c = x.shape
-    Ah = _interp_matrix(h * factor, h)
-    Aw = _interp_matrix(w * factor, w)
-    hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision=hp)
-    y = jnp.einsum("ow,bhwc->bhoc", Aw, y, precision=hp)
-    return y
+    return _interp_apply(x, _interp_matrix(h * factor, h),
+                         _interp_matrix(w * factor, w))
 
 
 def resize_bilinear_align(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """F.interpolate(..., mode='bilinear', align_corners=True) to an arbitrary
     size, NHWC."""
     b, h, w, c = x.shape
-    Ah = _interp_matrix(out_h, h)
-    Aw = _interp_matrix(out_w, w)
-    hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision=hp)
-    y = jnp.einsum("ow,bhwc->bhoc", Aw, y, precision=hp)
-    return y
+    return _interp_apply(x, _interp_matrix(out_h, h),
+                         _interp_matrix(out_w, w))
 
 
 @functools.lru_cache(maxsize=64)
@@ -156,12 +166,8 @@ def _interp_matrix_half(n_out: int, n_in: int):
 def resize_bilinear_half_pixel(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """F.interpolate(mode='bilinear', align_corners=False) for NHWC."""
     b, h, w, c = x.shape
-    Ah = _interp_matrix_half(out_h, h)
-    Aw = _interp_matrix_half(out_w, w)
-    hp = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,bhwc->bowc", Ah, x, precision=hp)
-    y = jnp.einsum("ow,bhwc->bhoc", Aw, y, precision=hp)
-    return y
+    return _interp_apply(x, _interp_matrix_half(out_h, h),
+                         _interp_matrix_half(out_w, w))
 
 
 def conv_transpose2d(x: jnp.ndarray, w: jnp.ndarray, b=None, stride: int = 2):
