@@ -42,16 +42,23 @@ class DetectParams:
 def _window_max(padded: jnp.ndarray, h: int, w: int, d: int,
                 r0: int, r1: int, c0: int, c1: int) -> jnp.ndarray:
     """Max over relative offsets rows [r0..r1] x cols [c0..c1] of a (H+2d, W+2d)
-    zero-padded map; returns (H, W)."""
-    win = (r1 - r0 + 1, c1 - c0 + 1)
-    m = lax.reduce_window(padded, -jnp.inf, lax.max, win, (1, 1), "VALID")
+    zero-padded map; returns (H, W). Separable (rows then cols): a (a x b)
+    rectangular max costs a+b VPU compares per pixel instead of a*b."""
+    wr = r1 - r0 + 1
+    wc = c1 - c0 + 1
+    m = padded
+    if wr > 1:
+        m = lax.reduce_window(m, -jnp.inf, lax.max, (wr, 1), (1, 1), "VALID")
+    if wc > 1:
+        m = lax.reduce_window(m, -jnp.inf, lax.max, (1, wc), (1, 1), "VALID")
     return lax.dynamic_slice(m, (d + r0, d + c0), (h, w))
 
 
 def _box_sum(padded: jnp.ndarray, h: int, w: int, d: int) -> jnp.ndarray:
     ks = 2 * d + 1
-    s = lax.reduce_window(padded, 0.0, lax.add, (ks, ks), (1, 1), "VALID")
-    return s  # already (H, W): padded is (H+2d, W+2d), window ks -> H x W
+    s = lax.reduce_window(padded, 0.0, lax.add, (ks, 1), (1, 1), "VALID")
+    s = lax.reduce_window(s, 0.0, lax.add, (1, ks), (1, 1), "VALID")
+    return s  # (H, W): padded is (H+2d, W+2d), separable ks x ks box sum
 
 
 def _local_max_mask(probs: jnp.ndarray, d: int) -> jnp.ndarray:

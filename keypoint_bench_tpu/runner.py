@@ -312,21 +312,29 @@ class Evaluator:
 
     def _run_mha(self, ds):
         ths = tuple(self.cfg.task_params.get("th", [3, 5, 7]))
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         hits = []
-        for batch in _iter(ds):
-            img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
-            wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
-            a0, _, va = self._warp(k0, v0, wp01)
-            b0, _, vb = self._warp(k1, v1, wp10)
-            # brute-force on covisible sets (MHA.py:33-39); keep fixed-K rows,
-            # validity = covisible
-            m0, m1, ok = self._match(k0, va, k1, vb, d0, d1,
-                                     img0.shape[1], img0.shape[0])
-            out = mha_pair(m0, m1, ok, jnp.asarray(wp01["homography_matrix"]),
-                           wp01["width"], wp01["height"],
-                           img0.shape[0], img0.shape[1], self.next_key(),
-                           thresholds=ths)
-            hits.append(np.asarray(out))
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is None:
+                img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                    self._pair_maps(batch)
+                wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+                a0, _, va = self._warp(k0, v0, wp01)
+                b0, _, vb = self._warp(k1, v1, wp10)
+                # brute-force on covisible sets (MHA.py:33-39); fixed-K rows,
+                # validity = covisible
+                m0, m1, ok = self._match(k0, va, k1, vb, d0, d1,
+                                         img0.shape[1], img0.shape[0])
+                out = mha_pair(m0, m1, ok,
+                               jnp.asarray(wp01["homography_matrix"]),
+                               wp01["width"], wp01["height"],
+                               img0.shape[0], img0.shape[1], self.next_key(),
+                               thresholds=ths)
+                rec = log.put(i, {f"h{t}": float(v)
+                                  for t, v in zip(ths, np.asarray(out))})
+            hits.append(np.array([rec[f"h{t}"] for t in ths]))
+        log.close()
         result_arr = np.mean(np.stack(hits), axis=0)
         result = {f"MHA@{t}": float(v) for t, v in zip(ths, result_arr)}
         for t, v in zip(ths, result_arr):
@@ -336,27 +344,34 @@ class Evaluator:
 
     def _run_auc(self, ds):
         ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         errors, inliers = [], []
-        for batch in _iter(ds):
-            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
-            wp01 = batch["warp01_params"]
-            m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
-                                     img0.shape[1], img0.shape[0])
-            h0, w0 = img0.shape[0], img0.shape[1]
-            h1, w1 = img1.shape[0], img1.shape[1]
-            p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
-            p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
-            K0 = jnp.asarray(wp01["intrinsics0"])
-            K1 = jnp.asarray(wp01["intrinsics1"])
-            R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1,
-                                                     self.next_key())
-            if bool(okp):
-                err = float(pose_error(R, t, jnp.asarray(wp01["pose01"])))
-                errors.append(err)
-                inliers.append(int(n_in))
-            else:
-                errors.append(180.0)
-                inliers.append(0)
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is None:
+                img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                    self._pair_maps(batch)
+                wp01 = batch["warp01_params"]
+                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
+                                         img0.shape[1], img0.shape[0])
+                h0, w0 = img0.shape[0], img0.shape[1]
+                h1, w1 = img1.shape[0], img1.shape[1]
+                p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
+                p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
+                K0 = jnp.asarray(wp01["intrinsics0"])
+                K1 = jnp.asarray(wp01["intrinsics1"])
+                R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1,
+                                                         self.next_key())
+                if bool(okp):
+                    rec = log.put(i, {
+                        "error": float(pose_error(
+                            R, t, jnp.asarray(wp01["pose01"]))),
+                        "inliers": int(n_in)})
+                else:
+                    rec = log.put(i, {"error": 180.0, "inliers": 0})
+            errors.append(rec["error"])
+            inliers.append(rec["inliers"])
+        log.close()
         aucs = pose_auc(errors, ths)
         result = {f"AUC@{t}": float(a) for t, a in zip(ths, aucs)}
         result["AUC_inliers"] = float(np.mean(inliers))

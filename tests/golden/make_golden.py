@@ -186,6 +186,10 @@ def main():
                 v.copy_(0.5 + torch.rand(v.shape, generator=g))
             elif "running_mean" in k:
                 v.copy_(0.2 * torch.randn(v.shape, generator=g))
+            elif "confidence_thresholds" in k:
+                # derived buffer, not a weight (lightglue.py:424-429): draw
+                # to keep the RNG sequence stable, but leave the buffer alone
+                torch.randn(v.shape, generator=g)
             else:
                 v.copy_(0.3 * torch.randn(v.shape, generator=g))
         model.load_state_dict(sd)
@@ -309,6 +313,31 @@ def main():
             rec[f"param:{k}"] = v
         np.savez(os.path.join(HERE, "lightglue.npz"), **rec)
         print("golden ok: lightglue")
+
+        # adaptive mode (reference defaults: early exit + width pruning,
+        # which on CPU always prunes) with the same weights/inputs
+        orig_load = torch.load
+        torch.load = lambda *a, **k: {}
+        try:
+            lg2 = LightGlue(features="superpoint",
+                            weight_path="/nonexistent", flash=False)
+        finally:
+            torch.load = orig_load
+        lg2.load_state_dict(lg.state_dict())
+        lg2.eval()
+        with torch.no_grad():
+            out2 = lg2({"image0": {"keypoints": torch.from_numpy(kpts0),
+                                   "descriptors": torch.from_numpy(de0)},
+                        "image1": {"keypoints": torch.from_numpy(kpts1),
+                                   "descriptors": torch.from_numpy(de1)}})
+        rec2 = {
+            "kpts0": kpts0, "kpts1": kpts1, "desc0": de0, "desc1": de1,
+            "matches0": out2["matches0"].numpy(),
+            "mscores0": out2["matching_scores0"].numpy(),
+            "stop": np.array(out2["stop"]),
+        }
+        np.savez(os.path.join(HERE, "lightglue_adaptive.npz"), **rec2)
+        print("golden ok: lightglue_adaptive (stop=%d)" % out2["stop"])
     except Exception:
         import traceback
         traceback.print_exc()
