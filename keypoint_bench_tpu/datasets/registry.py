@@ -52,6 +52,12 @@ def get_dataset(params: dict):
         return SyntheticSE3Dataset(params.get("num_pairs", 4),
                                    params.get("image_size", 256),
                                    params.get("seed", 0))
+    if t == "synthetic_splat_sequence":
+        from keypoint_bench_tpu.datasets.synthetic import \
+            SyntheticSplatSequenceDataset
+        return SyntheticSplatSequenceDataset(params.get("num_frames", 6),
+                                             params.get("image_size", 256),
+                                             params.get("seed", 0))
     if t == "synthetic_sequence":
         from keypoint_bench_tpu.datasets.synthetic import \
             SyntheticSequenceDataset

@@ -205,6 +205,58 @@ class SyntheticSE3Dataset:
         }
 
 
+class SyntheticSplatSequenceDataset:
+    """KITTI-contract mono sequence rendered from the 3D gaussian-splat scene
+    (true parallax — unlike SyntheticSequenceDataset's single plane, this is
+    non-degenerate for essential estimation)."""
+
+    def __init__(self, num_frames: int = 6, image_size: int = 256,
+                 seed: int = 0, n_blobs: int = 900):
+        import cv2
+        self.n = num_frames
+        base = SyntheticSE3Dataset(1, image_size, seed, n_blobs)
+        self.base = base
+        rng = np.random.default_rng(seed)
+        self.X = np.concatenate([rng.uniform(-4, 4, (n_blobs, 2)),
+                                 rng.uniform(4, 20, (n_blobs, 1))], axis=1)
+        self.colors = rng.uniform(0.3, 1.0, (n_blobs, 3)).astype(np.float32)
+        self.tex = _texture(image_size, image_size, rng) * 0.15
+        self.poses_cam = []   # cam-from-world per frame
+        for i in range(num_frames):
+            aa = np.array([0.0, 0.002 * i, 0.0])
+            R, _ = cv2.Rodrigues(aa)
+            # per-frame baseline must be large enough that parallax clearly
+            # exceeds the 1px RANSAC threshold even on the far plane
+            t = np.array([0.35 * i, 0.05 * i, 0.0])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = t
+            self.poses_cam.append(T)
+        # world-from-cam for the GT contract (KITTI gt is world-from-cam)
+        self.poses = [np.linalg.inv(T) for T in self.poses_cam]
+        K = base.K
+        self.Fs = _fundamentals_from_poses(self.poses, K[0, 0], K[1, 1],
+                                           K[0, 2], K[1, 2])
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        T = self.poses_cam[i]
+        img, _ = self.base._render(self.X, self.colors, T[:3, :3], T[:3, 3],
+                                   self.tex)
+        last = max(0, i - 1)
+        K = self.base.K
+        return {
+            "image0": img, "image1": img,
+            "fx": K[0, 0], "fy": K[1, 1], "cx": K[0, 2], "cy": K[1, 2],
+            "ground_truth": self.poses[i].astype("float32"),
+            "last_ground_truth": self.poses[last].astype("float32"),
+            "fundamental": self.Fs[i],
+            "dataset": "Kitti",
+        }
+
+
 class SyntheticSequenceDataset:
     """KITTI-contract mono sequence: camera translating over a textured
     fronto-parallel plane at depth z0 (image motion = homography induced by
