@@ -462,7 +462,58 @@ class Evaluator:
         print("fundamental_radio", result["fundamental_radio"])
         return result
 
+    def _run_vo_pipelined(self, ds):
+        """Batched VO (SURVEY.md §3.3): detect every frame once, then solve
+        all consecutive pairs as one vmapped batch on device; only the final
+        GT-scale pose compose chain stays serial on host. Enabled with
+        task_params.pipelined for brute-force matching (LK tracking needs the
+        raw frames pairwise and stays in the sequential path)."""
+        n = len(ds)
+        kpts, valids, descs, metas = [], [], [], []
+        for batch in _iter(ds):
+            img = np.asarray(batch["image0"], np.float32)
+            s, d, k, v = self.detect(img)
+            kpts.append(k)
+            valids.append(v)
+            descs.append(d)
+            metas.append(batch)
+        h, w = np.asarray(metas[0]["image0"]).shape[:2]
+        scale_px = jnp.asarray([w - 1.0, h - 1.0])
+
+        def pair_solve(k0, v0, d0, k1, v1, d1, key):
+            m0, m1, ok = brute_force_match(k0, v0, k1, v1, d0, d1,
+                                           self.bf_max_distance)
+            return vo_pair_pose(m0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px,
+                                ok, jnp.asarray(float(metas[0]["fx"])),
+                                jnp.asarray(float(metas[0]["cx"])),
+                                jnp.asarray(float(metas[0]["cy"])), key)
+
+        batched = jax.jit(jax.vmap(pair_solve))
+        keys = jax.random.split(self.next_key(), n)
+        Rb, tb, n_in, okb = batched(
+            jnp.stack([kpts[max(0, i - 1)] for i in range(n)]),
+            jnp.stack([valids[max(0, i - 1)] for i in range(n)]),
+            jnp.stack([descs[max(0, i - 1)] for i in range(n)]),
+            jnp.stack(kpts), jnp.stack(valids), jnp.stack(descs), keys)
+
+        scales = []
+        for batch in metas:
+            gt = np.asarray(batch["ground_truth"])
+            gt_prev = np.asarray(batch["last_ground_truth"])
+            scales.append(float(np.linalg.norm(gt[0:3, 3] - gt_prev[0:3, 3])))
+        R_est, t_est = chain_poses(np.asarray(Rb), np.asarray(tb),
+                                   np.asarray(okb), np.asarray(scales))
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        from keypoint_bench_tpu.tasks.vo import write_kitti_trajectory
+        traj = os.path.join(self.cfg.output_dir, "trajectory.txt")
+        write_kitti_trajectory(traj, R_est, t_est)
+        return {"num_frames": n, "trajectory_path": traj,
+                "R_est": R_est, "t_est": t_est}
+
     def _run_vo(self, ds):
+        if self.cfg.task_params.get("pipelined") and \
+                self.matcher_type == "brute_force":
+            return self._run_vo_pipelined(ds)
         rel_R, rel_t, oks, scales = [], [], [], []
         for last, batch in self._iter_sequence(ds):
             img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
