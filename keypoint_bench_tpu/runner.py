@@ -175,6 +175,21 @@ class Evaluator:
         """Returns (m_pts0 [K,3], m_pts1 [K,>=2], mask) in normalized coords."""
         if self.matcher_type == "light_glue" and \
                 self.lightglue_params is not None:
+            lg = self.cfg.matcher_params.get("light_glue_params", {})
+            if lg.get("adaptive", False):
+                # reference default mode: early exit + width pruning
+                from keypoint_bench_tpu.models.lightglue import \
+                    sample_descriptors_lg
+                from keypoint_bench_tpu.models.lightglue_adaptive import \
+                    lightglue_forward_adaptive
+                scale = jnp.asarray([w - 1.0, h - 1.0])
+                p0 = kpts0[:, 0:2] * scale
+                p1 = kpts1[:, 0:2] * scale
+                d0 = sample_descriptors_lg(p0, desc0, self.desc_scale)
+                d1 = sample_descriptors_lg(p1, desc1, self.desc_scale)
+                m0, ms, ok, _ = lightglue_forward_adaptive(
+                    self.lightglue_params, p0, valid0, d0, p1, valid1, d1)
+                return kpts0, kpts1[jnp.maximum(m0, 0)], ok
             return lightglue_match(self.lightglue_params, kpts0, valid0,
                                    kpts1, valid1, desc0, desc1, w, h,
                                    self.desc_scale)
