@@ -136,6 +136,68 @@ def test_mha_parity_vs_reference(reference_modules):
             (i, ref_hits, ours)
 
 
+def test_fundamental_lk_parity_vs_reference(reference_modules):
+    """FundamentalMatrix task with LK tracking on a synthetic sequence: the
+    reference chain (torch OpticalFlow + epipolar error vs GT F) and ours
+    must produce close error statistics. Both jitter LK init points randomly
+    (the reference unseeded, torch side seeded here), so compare with
+    statistical tolerance."""
+    import torch
+    from keypoint_bench_tpu.datasets.synthetic import \
+        SyntheticSequenceDataset
+    from keypoint_bench_tpu.runner import EvalConfig, Evaluator
+
+    model, ref_detection, _ = reference_modules
+    sys.path.insert(0, REF)
+    from tasks.FundamentalMatrix import fundamental_matrix as ref_fm
+
+    n = 3
+    ds = SyntheticSequenceDataset(n, 256, seed=2)
+    ep = {"nms_dist": 6, "threshold": 0.0, "border_dist": 8,
+          "top_k": 500, "min_score": 0.0}
+    of = {"distance": 10, "win_size": 21, "levels": 3, "interation": 40,
+          "gray": False}
+    ref_params = {"extractor_params": ep, "model_type": "Alike",
+                  "matcher_params": {"type": "optical_flow",
+                                     "optical_flow_params": of},
+                  "FundamentalMatrix_params": {"th": 3}}
+    torch.manual_seed(0)
+    ref_errs, ref_radios = [], []
+    last = None
+    for i in range(n):
+        b = ds[i]
+        if last is None:
+            last = b
+        img0 = torch.from_numpy(
+            np.asarray(last["image0"]).transpose(2, 0, 1))[None]
+        img1 = torch.from_numpy(
+            np.asarray(b["image0"]).transpose(2, 0, 1))[None]
+        with torch.no_grad():
+            s0, _ = model(img0)
+            s1, _ = model(img1)
+        batch = {"fundamental": torch.from_numpy(b["fundamental"])[None]}
+        out = ref_fm(i, img0, batch, s0, s1, img0, img1, None, ref_params)
+        ref_errs.append(float(out["fundamental_error"]))
+        ref_radios.append(float(out["fundamental_radio"]))
+        last = b
+
+    cfg = EvalConfig(
+        model_type="Alike", task_type="FundamentalMatrix",
+        data_params={"type": "synthetic_sequence", "num_frames": n,
+                     "image_size": 256, "seed": 2},
+        extractor_params=ep,
+        matcher_params={"type": "optical_flow", "optical_flow_params": of},
+        task_params={"th": 3}, output_dir="/tmp/kbt_parity_fm")
+    ours = Evaluator(cfg).run()
+    ref_mean = float(np.mean(ref_errs))
+    our_mean = ours["fundamental_error"]
+    # LK init jitter differs between frameworks; the aggregate epipolar
+    # error must land in the same regime
+    assert abs(our_mean - ref_mean) < max(0.5, 0.5 * ref_mean), \
+        (our_mean, ref_mean)
+    assert abs(ours["fundamental_radio"] - np.mean(ref_radios)) < 0.2
+
+
 def test_repeatability_parity_vs_reference(reference_modules):
     from keypoint_bench_tpu.datasets.synthetic import \
         SyntheticHomographyDataset
