@@ -290,6 +290,12 @@ class Evaluator:
               n_data, "devices)")
         return result
 
+    def save_metric_plot(self, values, name):
+        """Per-pair metric curve + txt like the reference's plot_* helpers."""
+        from keypoint_bench_tpu.utils.visualization import plot_series
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        plot_series(values, os.path.join(self.cfg.output_dir, f"{name}.png"))
+
     def _run_repeatability(self, ds):
         if int(self.cfg.data_params.get("batch_size", 1)) > 1:
             return self._run_repeatability_sharded(ds)
@@ -309,6 +315,22 @@ class Evaluator:
                 rec = log.put(i, {"repeatability": out["repeatability"],
                                   "mean_error": out["mean_error"],
                                   "num_feat": int(out["num_feat"])})
+                if self.cfg.task_params.get("save_images"):
+                    # keypoint overlays like the reference writes per pair
+                    # (tasks/repeatability.py:117-121), behind a flag
+                    import cv2
+                    from keypoint_bench_tpu.utils.visualization import \
+                        plot_kps_error
+                    show = plot_kps_error(batch["image0"], np.asarray(k0),
+                                          np.asarray(v0))
+                    cv2.imwrite(os.path.join(
+                        self.cfg.output_dir, f"{i}_repeatability_0.png"),
+                        show)
+                    show = plot_kps_error(batch["image1"], np.asarray(k1),
+                                          np.asarray(v1))
+                    cv2.imwrite(os.path.join(
+                        self.cfg.output_dir, f"{i}_repeatability_1.png"),
+                        show)
             reps.append(rec["repeatability"])
             errs.append(rec["mean_error"])
             feats.append(rec["num_feat"])

@@ -97,6 +97,47 @@ def test_euroc_loader(tmp_path, rng):
     assert np.isfinite(s["fundamental"]).all()
 
 
+def test_uma_images_video_loaders(tmp_path, rng):
+    import cv2
+    from keypoint_bench_tpu.datasets.sequences import (UMADataset,
+                                                       ImagesDataset,
+                                                       VideoDataset)
+    # UMA: cam0/cam1 CSVs + images
+    root = tmp_path / "uma"
+    for cam in ("cam0", "cam1"):
+        (root / cam / "data").mkdir(parents=True)
+        with open(root / cam / "data.csv", "w") as f:
+            f.write("#ts,filename\n")
+            for i in range(2):
+                f.write(f"{i},{i}.png\n")
+                _png(root / cam / "data" / f"{i}.png",
+                     rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    uma = UMADataset(str(root) + "/")
+    assert len(uma) == 2
+    assert uma[0]["image0"].shape == (64, 96, 3)
+
+    # Images: directory of stills
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        _png(d / f"{i}.png", rng.integers(0, 255, (32, 48, 3),
+                                          dtype=np.uint8))
+    ims = ImagesDataset(str(d))
+    assert len(ims) == 3
+    assert ims[1]["image0"].shape == (32, 48, 3)
+
+    # Video: write an mp4 and stream frames
+    vpath = str(tmp_path / "v.avi")
+    wr = cv2.VideoWriter(vpath, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                         (48, 32))
+    for i in range(4):
+        wr.write(rng.integers(0, 255, (32, 48, 3), dtype=np.uint8))
+    wr.release()
+    vd = VideoDataset(vpath)
+    assert len(vd) == 4
+    assert vd[0]["image0"].shape == (32, 48, 3)
+
+
 def test_megadepth_loader(tmp_path, rng):
     import json
     import h5py
