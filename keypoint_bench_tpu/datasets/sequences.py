@@ -177,6 +177,39 @@ class EurocDataset:
         self.Fs = _cached_fundamentals(
             root + "state_groundtruth_estimate0/f.npy", self.poses,
             self.fx, self.fy, self.cx, self.cy)
+        # IMU samples (the reference only stubs integration,
+        # datasets/euroc.py:46-56; real preintegration lives in tasks/imu.py)
+        self.imu_ts = np.zeros(0)
+        self.imu_gyro = np.zeros((0, 3), np.float32)
+        self.imu_accel = np.zeros((0, 3), np.float32)
+        imu_csv = root + "imu0/data.csv"
+        if os.path.exists(imu_csv):
+            ts, gy, ac = [], [], []
+            with open(imu_csv) as f:
+                next(f)
+                for line in f:
+                    v = line.strip().split(",")
+                    ts.append(float(v[0]))
+                    gy.append([float(v[1]), float(v[2]), float(v[3])])
+                    ac.append([float(v[4]), float(v[5]), float(v[6])])
+            self.imu_ts = np.asarray(ts)
+            self.imu_gyro = np.asarray(gy, np.float32)
+            self.imu_accel = np.asarray(ac, np.float32)
+
+    def imu_between(self, i: int):
+        """Preintegrated IMU deltas over [frame i-1, frame i] (see
+        tasks/imu.preintegrate). Returns None if no IMU data was found."""
+        if len(self.imu_ts) == 0 or i == 0:
+            return None
+        import jax.numpy as jnp
+        from keypoint_bench_tpu.tasks.imu import preintegrate
+        t0, t1 = self.cam0_ts[i - 1], self.cam0_ts[i]
+        sel = (self.imu_ts >= t0) & (self.imu_ts < t1)
+        dts = np.diff(self.imu_ts, append=self.imu_ts[-1]) / 1e9  # ns -> s
+        return preintegrate(jnp.asarray(self.imu_gyro),
+                            jnp.asarray(self.imu_accel),
+                            jnp.asarray(dts.astype(np.float32)),
+                            jnp.asarray(sel))
 
     @staticmethod
     def _read_cam(path):

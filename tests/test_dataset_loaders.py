@@ -89,12 +89,23 @@ def test_euroc_loader(tmp_path, rng):
         f.write("#ts,px,py,pz,qw,qx,qy,qz\n")
         for i in range(2):
             f.write(f"{1000+i},{0.1*i},0,0,1,0,0,0\n")
+    # IMU CSV: 200 Hz-ish samples between the two frames
+    (root / "imu0").mkdir()
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#ts,gx,gy,gz,ax,ay,az\n")
+        for k in range(10):
+            # timestamps straddle the frame interval [1000, 1001)
+            f.write(f"{1000 + k/10},0,0,0.5,0,0,9.81\n")
     ds = EurocDataset(str(root) + "/")
     assert len(ds) == 2
     s = ds[1]
     assert s["dataset"] == "Euroc"
     assert s["image0"].shape[1] == 736   # reference width crop
     assert np.isfinite(s["fundamental"]).all()
+    pre = ds.imu_between(1)
+    assert pre is not None
+    assert float(pre["dt"]) > 0
+    assert np.isfinite(np.asarray(pre["dR"])).all()
 
 
 def test_uma_images_video_loaders(tmp_path, rng):
