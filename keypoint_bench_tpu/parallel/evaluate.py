@@ -67,6 +67,48 @@ def batched_repeatability_step(model_fn, params, detect_params: DetectParams,
     }
 
 
+def _mha_pair_pipeline(model_fn, params, detect_params, thresholds,
+                       img0, img1, H, Hinv, width, height, scale, key):
+    """One MHA pair fully on device: model x2 -> detect -> covisibility warp
+    -> BF match -> RANSAC homography -> corner-transfer hits."""
+    from keypoint_bench_tpu.tasks.mha import mha_pair
+
+    score0, desc0 = model_fn(params, img0[None])
+    score1, desc1 = model_fn(params, img1[None])
+    k0, v0 = detection(score0[0], detect_params)
+    k1, v1 = detection(score1[0], detect_params)
+    _, _, va = warp_homography(k0, v0, H, width, height)
+    _, _, vb = warp_homography(k1, v1, Hinv, width, height)
+    m0, m1, ok = brute_force_match(k0, va, k1, vb, desc0[0], desc1[0], 5.0)
+    hits = mha_pair(m0, m1, ok, H, width, height,
+                    img0.shape[0], img0.shape[1], key,
+                    thresholds=thresholds, n_hyp=256)
+    return hits
+
+
+def sharded_mha_step(mesh, model_fn, params, detect_params: DetectParams,
+                     thresholds=(3.0, 5.0, 7.0)):
+    """Mesh-sharded batched MHA: pairs shard over 'data'; returns the mean
+    hit vector over the batch (replicated)."""
+    data_sh = lambda ndim: NamedSharding(mesh, P("data", *[None] * (ndim - 1)))
+    repl = NamedSharding(mesh, P())
+    fn = functools.partial(_mha_pair_pipeline, model_fn, params,
+                           detect_params, thresholds)
+
+    def step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys):
+        hits = jax.vmap(
+            lambda i0, i1, H, Hi, sz, sc, k: fn(i0, i1, H, Hi, sz[0], sz[1],
+                                                sc, k)
+        )(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
+        return jnp.mean(hits, axis=0)
+
+    return jax.jit(
+        step,
+        in_shardings=(data_sh(4), data_sh(4), data_sh(3), data_sh(3),
+                      data_sh(2), data_sh(1), data_sh(1)),
+        out_shardings=repl)
+
+
 def sharded_eval_step(mesh, model_fn, params, detect_params: DetectParams):
     """Build a jitted, mesh-sharded batched eval step.
 

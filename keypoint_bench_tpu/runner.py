@@ -347,7 +347,58 @@ class Evaluator:
               " rep_mean_err", result["rep_mean_err"])
         return result
 
+    def _run_mha_sharded(self, ds):
+        """Mesh-sharded batched MHA (see _run_repeatability_sharded)."""
+        import jax as _jax
+        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        from keypoint_bench_tpu.parallel.evaluate import sharded_mha_step
+
+        ths = tuple(float(t) for t in self.cfg.task_params.get(
+            "th", [3, 5, 7]))
+        b = int(self.cfg.data_params.get("batch_size", 1))
+        n_dev = len(_jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        mesh = make_mesh(n_data=n_data, n_model=1,
+                         devices=_jax.devices()[:n_data])
+        step = sharded_mha_step(mesh, self.model_fn, self.params,
+                                self.detect_params, ths)
+        hit_batches = []
+        buf = []
+        for batch in _iter(ds):
+            buf.append(batch)
+            if len(buf) < b:
+                continue
+            imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
+                               for s in buf])
+            imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
+                               for s in buf])
+            Hs = jnp.stack([jnp.asarray(
+                s["warp01_params"]["homography_matrix"]) for s in buf])
+            Hinvs = jnp.stack([jnp.asarray(
+                s["warp10_params"]["homography_matrix"]) for s in buf])
+            sizes = jnp.stack([jnp.asarray(
+                [float(s["warp01_params"]["width"]),
+                 float(s["warp01_params"]["height"])]) for s in buf])
+            scales = jnp.asarray([
+                float(s["warp01_params"].get("resize",
+                                             s["warp01_params"]["width"]))
+                for s in buf])
+            keys = jax.random.split(self.next_key(), b)
+            with mesh:
+                hits = step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
+            hit_batches.append(np.asarray(hits))
+            buf = []
+        mean_hits = np.mean(np.stack(hit_batches), axis=0) if hit_batches \
+            else np.full(len(ths), np.nan)
+        result = {f"MHA@{int(t)}": float(v)
+                  for t, v in zip(ths, mean_hits)}
+        for t, v in zip(ths, mean_hits):
+            print("MHA ", v)
+        return result
+
     def _run_mha(self, ds):
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+            return self._run_mha_sharded(ds)
         ths = tuple(self.cfg.task_params.get("th", [3, 5, 7]))
         log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         hits = []
