@@ -120,9 +120,13 @@ def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
             S = S.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
             S = S - S_cross
             Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+            rd = rhs.reshape(-1)
             if fix_first_cam:
-                Sd = Sd.at[:6, :6].add(1e12 * jnp.eye(6))
-            dx = jnp.linalg.solve(Sd, rhs.reshape(-1)).reshape(C, 6)
+                # exact gauge elimination (see ba_solve)
+                Sd = Sd.at[:6, :].set(0.0).at[:, :6].set(0.0)
+                Sd = Sd.at[:6, :6].set(jnp.eye(6))
+                rd = rd.at[:6].set(0.0)
+            dx = jnp.linalg.solve(Sd, rd).reshape(C, 6)
 
             Wt_dx = jnp.einsum("pcij,ci->pj", W, dx, precision=_HPP)
             dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - Wt_dx, precision=_HPP)

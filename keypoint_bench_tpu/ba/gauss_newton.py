@@ -95,20 +95,37 @@ def reprojection_errors(prob: BAProblem):
     return jnp.where(prob.mask, errs, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "fix_first_cam"))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_first_cam",
+                                             "huber_delta"))
 def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-4,
-             fix_first_cam: bool = True):
+             fix_first_cam: bool = True, huber_delta: float = 0.0):
     """Run `iters` damped GN/Schur iterations. Returns updated (R, t, points,
-    final mean reprojection error over valid observations)."""
+    final mean reprojection error over valid observations). huber_delta > 0
+    enables a robust (Huber) reweighting of each observation — essential when
+    the observations come from real matching with outlier tracks."""
     C = prob.R.shape[0]
     P = prob.points.shape[0]
     wmask = prob.mask.astype(jnp.float32)
 
+    def huber_cost(R, t, pts):
+        def one(ci, pi, uv, m):
+            Xc = _mm(R[ci], pts[pi]) + t[ci]
+            rn = jnp.linalg.norm(_project(prob.K, Xc) - uv)
+            if huber_delta > 0:
+                return m * jnp.where(rn <= huber_delta, 0.5 * rn * rn,
+                                     huber_delta * (rn - 0.5 * huber_delta))
+            return m * 0.5 * rn * rn
+        return jnp.sum(jax.vmap(one)(prob.cam_idx, prob.pt_idx, prob.uv,
+                                     wmask))
+
     def iteration(state, _):
-        R, t, pts = state
+        R, t, pts, lam = state
 
         def per_obs(ci, pi, uv, m):
             r, Jc, Jp = _residual_and_jac(prob.K, R[ci], t[ci], pts[pi], uv)
+            if huber_delta > 0:
+                rn = jnp.linalg.norm(r) + 1e-12
+                m = m * jnp.sqrt(jnp.minimum(1.0, huber_delta / rn))
             r = r * m
             Jc = Jc * m
             Jp = Jp * m
@@ -124,9 +141,9 @@ def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-4,
         bc = -jax.ops.segment_sum(bc_o, prob.cam_idx, C)    # [C,6]
         bp = -jax.ops.segment_sum(bp_o, prob.pt_idx, P)     # [P,3]
 
-        # damp
-        Hpp = Hpp + damping * jnp.eye(3)[None]
-        Hcc = Hcc + damping * jnp.eye(6)[None]
+        # LM damping with the adaptive lambda carried across iterations
+        Hpp = Hpp + lam * jnp.eye(3)[None]
+        Hcc = Hcc + lam * jnp.eye(6)[None]
         Hpp_inv = jnp.linalg.inv(Hpp)                        # [P,3,3]
 
         # Schur: S = Hcc_full - sum over obs-pairs of W Hpp^-1 W^T.
@@ -151,9 +168,12 @@ def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-4,
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
         rd = rhs.reshape(6 * C)
         if fix_first_cam:
-            # gauge fix: huge prior on cam0
-            big = 1e12
-            Sd = Sd.at[:6, :6].add(big * jnp.eye(6))
+            # gauge fix by exact elimination: zero cam0's rows/cols, identity
+            # diagonal, zero rhs (a huge-prior trick destroys f32
+            # conditioning on real problems)
+            Sd = Sd.at[:6, :].set(0.0).at[:, :6].set(0.0)
+            Sd = Sd.at[:6, :6].set(jnp.eye(6))
+            rd = rd.at[:6].set(0.0)
         dx = jnp.linalg.solve(Sd, rd).reshape(C, 6)
 
         # back-substitute points: dp = Hpp^-1 (bp - sum_c W^T dxc)
@@ -167,10 +187,23 @@ def ba_solve(prob: BAProblem, iters: int = 10, damping: float = 1e-4,
             return Rn, tn
 
         Rn, tn = jax.vmap(upd)(R, t, dx)
-        return (Rn, tn, pts + dp), None
+        ptsn = pts + dp
 
-    (Rf, tf, pf), _ = jax.lax.scan(iteration, (prob.R, prob.t, prob.points),
-                                   None, length=iters)
+        # Levenberg-Marquardt accept/reject: keep the step only if the
+        # (robust) cost decreased; otherwise stay and raise lambda
+        c_old = huber_cost(R, t, pts)
+        c_new = huber_cost(Rn, tn, ptsn)
+        accept = jnp.isfinite(c_new) & (c_new < c_old)
+
+        R, t, pts = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old),
+            (Rn, tn, ptsn), (R, t, pts))
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0), 1e-6, 1e6)
+        return (R, t, pts, lam), None
+
+    (Rf, tf, pf, _), _ = jax.lax.scan(
+        iteration, (prob.R, prob.t, prob.points, jnp.asarray(damping)),
+        None, length=iters)
     final = BAProblem(Rf, tf, pf, prob.cam_idx, prob.pt_idx, prob.uv,
                       prob.mask, prob.K)
     errs = reprojection_errors(final)

@@ -107,7 +107,10 @@ def pgo_solve(g: PoseGraph, iters: int = 10, damping: float = 1e-6):
 
         Hd = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
         Hd = Hd + damping * jnp.eye(6 * n)
-        Hd = Hd.at[:6, :6].add(1e12 * jnp.eye(6))  # gauge: fix pose 0
+        # gauge fix by exact elimination of pose 0
+        Hd = Hd.at[:6, :].set(0.0).at[:, :6].set(0.0)
+        Hd = Hd.at[:6, :6].set(jnp.eye(6))
+        b = b.at[0].set(jnp.zeros(6))
         dx = jnp.linalg.solve(Hd, b.reshape(-1)).reshape(n, 6)
 
         Rn, tn = jax.vmap(_apply_tangent)(R, t, dx)

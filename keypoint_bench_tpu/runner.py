@@ -568,17 +568,24 @@ class Evaluator:
         h, w = np.asarray(metas[0]["image0"]).shape[:2]
         scale_px = jnp.asarray([w - 1.0, h - 1.0])
 
+        from keypoint_bench_tpu.ops.grid_sample import sample_at_points
+        from keypoint_bench_tpu.ops.matching import mutual_nn_match
+
         def pair_solve(k0, v0, d0, k1, v1, d1, key):
-            m0, m1, ok = brute_force_match(k0, v0, k1, v1, d0, d1,
-                                           self.bf_max_distance)
-            return vo_pair_pose(m0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px,
-                                ok, jnp.asarray(float(metas[0]["fx"])),
-                                jnp.asarray(float(metas[0]["cx"])),
-                                jnp.asarray(float(metas[0]["cy"])), key)
+            f0 = sample_at_points(d0, k0)
+            f1 = sample_at_points(d1, k1)
+            nn01, ok = mutual_nn_match(f0, f1, v0, v1, self.bf_max_distance)
+            m1 = k1[nn01]
+            R, t, n_in, okp = vo_pair_pose(
+                k0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
+                jnp.asarray(float(metas[0]["fx"])),
+                jnp.asarray(float(metas[0]["cx"])),
+                jnp.asarray(float(metas[0]["cy"])), key)
+            return R, t, n_in, okp, nn01, ok
 
         batched = jax.jit(jax.vmap(pair_solve))
         keys = jax.random.split(self.next_key(), n)
-        Rb, tb, n_in, okb = batched(
+        Rb, tb, n_in, okb, nn01s, mok = batched(
             jnp.stack([kpts[max(0, i - 1)] for i in range(n)]),
             jnp.stack([valids[max(0, i - 1)] for i in range(n)]),
             jnp.stack([descs[max(0, i - 1)] for i in range(n)]),
@@ -595,8 +602,42 @@ class Evaluator:
         from keypoint_bench_tpu.tasks.vo import write_kitti_trajectory
         traj = os.path.join(self.cfg.output_dir, "trajectory.txt")
         write_kitti_trajectory(traj, R_est, t_est)
-        return {"num_frames": n, "trajectory_path": traj,
-                "R_est": R_est, "t_est": t_est}
+        result = {"num_frames": n, "trajectory_path": traj,
+                  "R_est": R_est, "t_est": t_est}
+
+        if self.cfg.task_params.get("ba_refine"):
+            # grow VO into windowed bundle adjustment (tasks/vo_ba.py)
+            from keypoint_bench_tpu.tasks.vo_ba import (chain_tracks,
+                                                        refine_window)
+            # cam-from-world chain from the scaled relative poses
+            R_w2c = [np.eye(3)]
+            t_w2c = [np.zeros(3)]
+            Rb_n = np.asarray(Rb)
+            tb_n = np.asarray(tb)
+            for i in range(1, n):
+                s = scales[i] if scales[i] >= 0.001 and okb[i] else 0.0
+                R_w2c.append(Rb_n[i] @ R_w2c[-1])
+                t_w2c.append(Rb_n[i] @ t_w2c[-1] + s * tb_n[i])
+            R_w2c = np.stack(R_w2c)
+            t_w2c = np.stack(t_w2c)
+            tracks = chain_tracks(np.asarray(nn01s), np.asarray(mok))
+            fx = float(metas[0]["fx"])
+            K = np.array([[fx, 0, float(metas[0]["cx"])],
+                          [0, float(metas[0]["fy"]), float(metas[0]["cy"])],
+                          [0, 0, 1.0]], np.float32)
+            kpts_px = np.asarray(jnp.stack(kpts))[:, :, :2] * \
+                np.asarray(scale_px)
+            ref = refine_window(kpts_px, tracks, R_w2c, t_w2c, K)
+            if ref is not None:
+                Rf, tf, pf, err0, err1 = ref
+                result.update({"ba_R_w2c": Rf, "ba_t_w2c": tf,
+                               "ba_points": pf,
+                               "ba_reproj_before": err0,
+                               "ba_reproj_after": err1,
+                               "ba_tracks": len(tracks)})
+                print(f"BA window: {len(tracks)} tracks, reproj "
+                      f"{err0:.2f} -> {err1:.2f} px")
+        return result
 
     def _run_vo(self, ds):
         if self.cfg.task_params.get("pipelined") and \

@@ -1,0 +1,113 @@
+"""VO -> bundle adjustment: grow frame-to-frame visual odometry into windowed
+BA (the BASELINE.json north star — the reference's VO never revisits a pose
+after GT-scale chaining, tasks/visual_odometer.py:81-89).
+
+Pipeline:
+  1. consecutive-pair brute-force matches are chained into multi-frame
+     tracks host-side (track ids propagate along match edges),
+  2. each track is triangulated linearly from its first and last observation
+     using the chained VO poses,
+  3. a BAProblem over the window refines poses + points with the
+     Gauss-Newton/Schur solver (ba/gauss_newton.py), first camera fixed.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from keypoint_bench_tpu.ba.gauss_newton import BAProblem, ba_solve, \
+    reprojection_errors
+
+
+def chain_tracks(match_idx: np.ndarray, match_ok: np.ndarray):
+    """match_idx [T, K]: for pair (i-1, i), row i maps keypoint slot k of
+    frame i-1 to its matched slot in frame i (with match_ok [T, K] validity;
+    row 0 is ignored). Returns a list of tracks, each a list of
+    (frame, slot) observations with length >= 2."""
+    t, k = match_idx.shape
+    track_of = -np.ones((t, k), np.int64)   # track id per (frame, slot)
+    tracks: list[list[tuple[int, int]]] = []
+    for i in range(1, t):
+        for slot in range(k):
+            if not match_ok[i, slot]:
+                continue
+            j = int(match_idx[i, slot])     # slot in frame i
+            tid = track_of[i - 1, slot]
+            if tid < 0:
+                tid = len(tracks)
+                tracks.append([(i - 1, slot)])
+                track_of[i - 1, slot] = tid
+            if track_of[i, j] < 0:          # first claim wins
+                tracks[tid].append((i, j))
+                track_of[i, j] = tid
+    return [tr for tr in tracks if len(tr) >= 2]
+
+
+def _triangulate(K, R0, t0, R1, t1, uv0, uv1):
+    """Linear two-view triangulation (world point) for pixel obs uv."""
+    P0 = K @ np.concatenate([R0, t0[:, None]], axis=1)
+    P1 = K @ np.concatenate([R1, t1[:, None]], axis=1)
+    A = np.stack([
+        uv0[0] * P0[2] - P0[0],
+        uv0[1] * P0[2] - P0[1],
+        uv1[0] * P1[2] - P1[0],
+        uv1[1] * P1[2] - P1[1],
+    ])
+    _, _, vt = np.linalg.svd(A)
+    X = vt[-1]
+    return X[:3] / X[3]
+
+
+def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
+                     t_w2c: np.ndarray, K: np.ndarray,
+                     min_depth: float = 0.1, max_depth: float = 100.0):
+    """kpts_px [T, Kslots, 2] pixel coords; tracks from chain_tracks;
+    R_w2c/t_w2c [T,...] world->camera chained VO poses. Returns (BAProblem,
+    n_points) or None if too few valid tracks."""
+    cams, pts, uvs, pt_ids = [], [], [], []
+    points3d = []
+    for tr in tracks:
+        (f0, s0), (f1, s1) = tr[0], tr[-1]
+        X = _triangulate(K, R_w2c[f0], t_w2c[f0], R_w2c[f1], t_w2c[f1],
+                         kpts_px[f0, s0], kpts_px[f1, s1])
+        z0 = (R_w2c[f0] @ X + t_w2c[f0])[2]
+        if not (min_depth < z0 < max_depth) or not np.isfinite(X).all():
+            continue
+        pid = len(points3d)
+        points3d.append(X)
+        for (f, s) in tr:
+            cams.append(f)
+            pt_ids.append(pid)
+            uvs.append(kpts_px[f, s])
+    if len(points3d) < 8:
+        return None
+    prob = BAProblem(
+        R=jnp.asarray(R_w2c, jnp.float32),
+        t=jnp.asarray(t_w2c, jnp.float32),
+        points=jnp.asarray(np.stack(points3d), jnp.float32),
+        cam_idx=jnp.asarray(cams, jnp.int32),
+        pt_idx=jnp.asarray(pt_ids, jnp.int32),
+        uv=jnp.asarray(np.stack(uvs), jnp.float32),
+        mask=jnp.ones(len(cams), bool),
+        K=jnp.asarray(K, jnp.float32))
+    return prob
+
+
+def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
+                  max_init_err: float = 20.0, huber_delta: float = 2.0):
+    """Run windowed BA; returns (R, t, points, err_before, err_after) or None
+    when the window has too few tracks. Observations whose initial
+    reprojection error exceeds `max_init_err` px (wrong matches in the
+    tracks) are masked out; the solve itself uses Huber reweighting."""
+    prob = build_ba_problem(kpts_px, tracks, R_w2c, t_w2c, K)
+    if prob is None:
+        return None
+    errs = reprojection_errors(prob)
+    inlier_mask = prob.mask & (errs < max_init_err)
+    prob = BAProblem(prob.R, prob.t, prob.points, prob.cam_idx, prob.pt_idx,
+                     prob.uv, inlier_mask, prob.K)
+    err0 = float(jnp.sum(reprojection_errors(prob) * inlier_mask)
+                 / jnp.maximum(jnp.sum(inlier_mask), 1))
+    R, t, p, err = ba_solve(prob, iters=iters, damping=1e-2,
+                            huber_delta=huber_delta)
+    return np.asarray(R), np.asarray(t), np.asarray(p), err0, float(err)
