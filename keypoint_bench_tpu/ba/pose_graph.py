@@ -18,7 +18,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from keypoint_bench_tpu.ba.gauss_newton import _exp_so3, _hat, _mm
+from keypoint_bench_tpu.ba.gauss_newton import _exp_so3, _mm
 
 _HP = jax.lax.Precision.HIGHEST
 
