@@ -93,8 +93,8 @@ class MetricLog:
         return self.done.get(i)
 
     def put(self, i: int, rec: dict):
-        rec = {"i": i, **{k: (float(v) if not isinstance(v, (str, int))
-                              else v) for k, v in rec.items()}}
+        rec = {"i": i, **{k: (v if isinstance(v, (str, int, list, bool))
+                              else float(v)) for k, v in rec.items()}}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
         return rec
@@ -643,33 +643,43 @@ class Evaluator:
         if self.cfg.task_params.get("pipelined") and \
                 self.matcher_type == "brute_force":
             return self._run_vo_pipelined(ds)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         rel_R, rel_t, oks, scales = [], [], [], []
-        for last, batch in self._iter_sequence(ds):
-            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
-                self._seq_maps(last, batch)
-            h, w = img1.shape[0], img1.shape[1]
-            if self.matcher_type == "optical_flow":
-                src0, src1 = self._flow_sources(img0, img1, d0, d1)
-                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
-                                         imgs=(src0, src1))
-                # LK has no cv2 status; validity = tracked point in bounds
-                inb = ((m1[:, 0] >= 0) & (m1[:, 0] <= 1)
-                       & (m1[:, 1] >= 0) & (m1[:, 1] <= 1))
-                ok = ok & inb
-            else:
-                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
-            scale_px = jnp.asarray([w - 1.0, h - 1.0])
-            R, t, n_in, okp = vo_pair_pose(
-                m0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
-                jnp.asarray(float(batch["fx"])),
-                jnp.asarray(float(batch["cx"])),
-                jnp.asarray(float(batch["cy"])), self.next_key())
-            rel_R.append(np.asarray(R))
-            rel_t.append(np.asarray(t))
-            oks.append(bool(okp))
-            gt = np.asarray(batch["ground_truth"])
-            gt_prev = np.asarray(batch["last_ground_truth"])
-            scales.append(float(np.linalg.norm(gt[0:3, 3] - gt_prev[0:3, 3])))
+        for i, (last, batch) in enumerate(self._iter_sequence(ds)):
+            rec = log.get(i)
+            if rec is None:
+                img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                    self._seq_maps(last, batch)
+                h, w = img1.shape[0], img1.shape[1]
+                if self.matcher_type == "optical_flow":
+                    src0, src1 = self._flow_sources(img0, img1, d0, d1)
+                    m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
+                                             imgs=(src0, src1))
+                    # LK has no cv2 status; validity = tracked in bounds
+                    inb = ((m1[:, 0] >= 0) & (m1[:, 0] <= 1)
+                           & (m1[:, 1] >= 0) & (m1[:, 1] <= 1))
+                    ok = ok & inb
+                else:
+                    m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
+                scale_px = jnp.asarray([w - 1.0, h - 1.0])
+                R, t, n_in, okp = vo_pair_pose(
+                    m0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
+                    jnp.asarray(float(batch["fx"])),
+                    jnp.asarray(float(batch["cx"])),
+                    jnp.asarray(float(batch["cy"])), self.next_key())
+                gt = np.asarray(batch["ground_truth"])
+                gt_prev = np.asarray(batch["last_ground_truth"])
+                rec = log.put(i, {
+                    "R": np.asarray(R).reshape(-1).tolist(),
+                    "t": np.asarray(t).tolist(),
+                    "ok": bool(okp),
+                    "scale": float(np.linalg.norm(gt[0:3, 3]
+                                                  - gt_prev[0:3, 3]))})
+            rel_R.append(np.asarray(rec["R"]).reshape(3, 3))
+            rel_t.append(np.asarray(rec["t"]))
+            oks.append(bool(rec["ok"]))
+            scales.append(float(rec["scale"]))
+        log.close()
         R_est, t_est = chain_poses(np.stack(rel_R), np.stack(rel_t),
                                    np.asarray(oks), np.asarray(scales))
         os.makedirs(self.cfg.output_dir, exist_ok=True)
