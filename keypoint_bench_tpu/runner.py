@@ -503,7 +503,80 @@ class Evaluator:
             return d0, d1
         return jnp.asarray(img0), jnp.asarray(img1)
 
+    def _run_fundamental_pipelined(self, ds):
+        """Batched FundamentalMatrix (SURVEY §3.3 pattern): one detection
+        pass over all frames, then every consecutive pair's track+epipolar
+        metric as a single vmapped device batch. Enabled with
+        task_params.pipelined; supports optical_flow and brute_force."""
+        th = float(self.cfg.task_params.get("th", 3.0))
+        n = len(ds)
+        frames, kpts, valids, descs, Fs = [], [], [], [], []
+        for batch in _iter(ds):
+            img = np.asarray(batch["image0"], np.float32)
+            s, d, k, v = self.detect(img)
+            frames.append(jnp.asarray(img))
+            kpts.append(k)
+            valids.append(v)
+            descs.append(d)
+            Fs.append(jnp.asarray(batch["fundamental"]))
+        h, w = np.asarray(frames[0]).shape[:2]
+        scale = jnp.asarray([w - 1.0, h - 1.0])
+        prev = [max(0, i - 1) for i in range(n)]
+
+        if self.matcher_type == "optical_flow":
+            if self.cfg.model_type in ("LETNet", "GoodPoint"):
+                src = [d for d in descs]
+            else:
+                src = frames
+
+            def pair_metric(s0, s1, k0, v0, F, key):
+                tracked, _ = optical_flow(s0, s1, k0[:, 0:2], k0[:, 0:2],
+                                          key, self.lk_params)
+                return fundamental_metrics(k0[:, 0:2] * scale,
+                                           tracked * scale, v0, F, th)
+
+            batched = jax.jit(jax.vmap(pair_metric))
+            keys = jax.random.split(self.next_key(), n)
+            out = batched(jnp.stack([src[p] for p in prev]),
+                          jnp.stack(src), jnp.stack([kpts[p] for p in prev]),
+                          jnp.stack([valids[p] for p in prev]),
+                          jnp.stack(Fs), keys)
+        else:
+            from keypoint_bench_tpu.ops.grid_sample import sample_at_points
+            from keypoint_bench_tpu.ops.matching import mutual_nn_match
+
+            def pair_metric(k0, v0, d0, k1, v1, d1, F):
+                f0 = sample_at_points(d0, k0)
+                f1 = sample_at_points(d1, k1)
+                nn01, ok = mutual_nn_match(f0, f1, v0, v1,
+                                           self.bf_max_distance)
+                return fundamental_metrics(k0[:, 0:2] * scale,
+                                           k1[nn01][:, 0:2] * scale, ok, F,
+                                           th)
+
+            batched = jax.jit(jax.vmap(pair_metric))
+            out = batched(jnp.stack([kpts[p] for p in prev]),
+                          jnp.stack([valids[p] for p in prev]),
+                          jnp.stack([descs[p] for p in prev]),
+                          jnp.stack(kpts), jnp.stack(valids),
+                          jnp.stack(descs), jnp.stack(Fs))
+        errs = np.asarray(out["fundamental_error"])
+        radios = np.asarray(out["fundamental_radio"])
+        nums = np.asarray(out["fundamental_num"])
+        result = {
+            "fundamental_error": float(errs.mean()),
+            "fundamental_radio": float(radios.mean()),
+            "fundamental_num": float(nums.mean()),
+            "per_frame_error": errs.tolist(),
+        }
+        print("fundamental_error", result["fundamental_error"],
+              " fundamental_radio", result["fundamental_radio"],
+              " fundamental_num", result["fundamental_num"])
+        return result
+
     def _run_fundamental(self, ds):
+        if self.cfg.task_params.get("pipelined"):
+            return self._run_fundamental_pipelined(ds)
         th = float(self.cfg.task_params.get("th", 3.0))
         errs, radios, nums = [], [], []
         for last, batch in self._iter_sequence(ds):
