@@ -14,7 +14,9 @@ def get_dataset(params: dict):
         from keypoint_bench_tpu.datasets.pairs import MegaDepthDataset
         return MegaDepthDataset(params["root"],
                                 params.get("image_size", 512),
-                                params.get("gray", False))
+                                params.get("gray", False),
+                                params.get("train", False),
+                                params.get("crop_or_scale", "scale"))
     if t == "image_pair":
         from keypoint_bench_tpu.datasets.pairs import ImagePairsDataset
         resize = ([params["image_size"]] * 2

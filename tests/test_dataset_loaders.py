@@ -185,3 +185,31 @@ def test_megadepth_loader(tmp_path, rng):
     # relative pose: 0.1m translation in x
     np.testing.assert_allclose(wp["pose01"][:3, 3], [0.1, 0, 0], atol=1e-6)
     assert wp["depth0"].shape == s["image0"].shape[:2]
+
+    # train modes (reference crop_or_scale variants)
+    for mode, size in (("scale", 32), ("crop", 32), ("crop_scale", 32)):
+        dst = MegaDepthDataset(str(root), image_size=size, train=True,
+                               crop_or_scale=mode)
+        st = dst[0]
+        assert st["image0"].shape == (size, size, 3), mode
+        wpt = st["warp01_params"]
+        assert wpt["depth0"].shape == (size, size), mode
+        if mode == "crop":
+            # bbox offsets flow into the SE3 warp; within source bounds
+            assert (np.asarray(wpt["bbox0"]) >= 0).all()
+        else:
+            np.testing.assert_array_equal(np.asarray(wpt["bbox0"]), [0, 0])
+        # geometric consistency through warp_se3: valid warps exist and
+        # map near the GT projection for the constant-depth plane
+        import jax.numpy as jnp
+        from keypoint_bench_tpu.geometry.warp import warp_se3
+        kp = np.array([[0.55, 0.5, 1.0]], np.float32)
+        _, p01, v = warp_se3(jnp.asarray(kp), jnp.ones(1, bool),
+                             jnp.asarray(wpt["pose01"]),
+                             jnp.asarray(wpt["bbox0"]),
+                             jnp.asarray(wpt["bbox1"]),
+                             jnp.asarray(wpt["depth0"]),
+                             jnp.asarray(wpt["depth1"]),
+                             jnp.asarray(wpt["intrinsics0"]),
+                             jnp.asarray(wpt["intrinsics1"]))
+        assert np.isfinite(np.asarray(p01)).all(), mode
