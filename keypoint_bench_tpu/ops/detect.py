@@ -27,6 +27,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# NMS implementation selector: "auto" runs the VMEM-resident Pallas fixpoint
+# kernel on TPU when the map fits (ops/pallas_nms.py, same semantics — one HBM
+# read+write for the whole fixpoint instead of ~10 passes per round), the XLA
+# reduce_window formulation otherwise. "xla"/"pallas" force a path (tests).
+_NMS_IMPL = ["auto"]
+
+
+def set_nms_impl(impl: str):
+    assert impl in ("auto", "xla", "pallas")
+    _NMS_IMPL[0] = impl
+
+
 @dataclasses.dataclass(frozen=True)
 class DetectParams:
     """Extractor parameters (reference config/config.yaml:17-22 `extractor_params`)."""
@@ -102,29 +114,30 @@ def fast_nms(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
         return mask, jnp.sum(mask.astype(jnp.int32))
 
     def cond(state):
-        _, count, prev_count, i = state
+        _, _, count, prev_count, i = state
         return (count != prev_count) & (i < max_iter)
 
     def body(state):
-        p, count, _, i = state
-        mask, _ = count_and_mask(p)
+        # the carried mask is the local-max mask of the carried map, so each
+        # iteration computes _local_max_mask exactly once (the reference
+        # recomputes it for its recount; the values are identical)
+        p, mask, count, _, i = state
         maskf = mask.astype(probs.dtype)
         padded = jnp.pad(maskf, d, constant_values=0.0)
         # box-sum minus self: #local maxima in window excluding p itself
         others = _box_sum(padded, h, w, d) - maskf
         p = jnp.where(others > 0.0, jnp.asarray(min_value, probs.dtype), p)
-        _, new_count = count_and_mask(p)
-        return p, new_count, count, i + 1
+        new_mask, new_count = count_and_mask(p)
+        return p, new_mask, new_count, count, i + 1
 
-    _, count0 = count_and_mask(probs)
+    mask0, count0 = count_and_mask(probs)
     # after the first suppression round the loop re-counts; emulate the
     # reference's do-while by seeding prev_count with an impossible value
-    state = (probs, count0, jnp.int32(-1), jnp.int32(0))
+    state = (probs, mask0, count0, jnp.int32(-1), jnp.int32(0))
     # run one suppression round unconditionally (reference always suppresses
     # at least once before it can observe a stable count)
     state = lax.while_loop(cond, body, state)
-    probs_out, _, _, _ = state
-    return probs_out
+    return state[0]
 
 
 def remove_border(probs: jnp.ndarray, border_dist: int) -> jnp.ndarray:
@@ -152,8 +165,14 @@ def detection(score_map: jnp.ndarray, params: DetectParams = DetectParams()):
     if score_map.ndim == 3:
         score_map = score_map[..., 0]
     h, w = score_map.shape
-    nms = fast_nms(score_map.astype(jnp.float32), params.nms_dist,
-                   params.max_nms_iter)
+    from keypoint_bench_tpu.ops import pallas_nms
+    impl = _NMS_IMPL[0]
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+        and pallas_nms.supported(h, w))
+    nms_fn = pallas_nms.fast_nms_pallas if use_pallas else fast_nms
+    nms = nms_fn(score_map.astype(jnp.float32), params.nms_dist,
+                 params.max_nms_iter)
     nms = remove_border(nms, params.border_dist)
 
     flat = nms.reshape(-1)
