@@ -10,9 +10,14 @@ Why a kernel: the XLA formulation performs ~10 full-map HBM passes per round
 (reduce_window maxes + box sums + selects), and smooth CNN score maps run the
 fixpoint for many rounds — NMS was ~25% of the benchmark step. A 512x512 f32
 map is 1 MB, so the *entire* fixpoint fits in VMEM: one HBM read, ~30 rounds
-of pure VPU work on-chip, one HBM write. Shifted-window maxes/sums replace
-reduce_window (static pad+slice only — Pallas TPU has no dynamic slicing on
-refs, CLAUDE.md).
+of pure VPU work on-chip, one HBM write.
+
+Mosaic notes: shifted windows use jnp.roll + broadcasted-iota edge masking
+(tpu.rotate) — jnp.pad lowers to misaligned tpu.concatenate which Mosaic
+rejects ("result/input offset mismatch on non-concat dimension"). The
+suppression test "another local max within the window" is a max over the
+window minus its center, which reuses the same strict-before/after window
+decomposition as the argmax mask (no box sums needed).
 """
 from __future__ import annotations
 
@@ -31,14 +36,23 @@ MAX_PIXELS = 512 * 1024
 
 def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """out[i, j] = x[i - dy, j - dx], zeros shifted in (the reference's
-    zero-padding window semantics)."""
+    zero-padding window semantics). roll + edge mask, no pad/concat."""
     h, w = x.shape
-    x = jnp.pad(x, ((max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))))
-    return lax.slice(x, (max(-dy, 0), max(-dx, 0)), (max(-dy, 0) + h, max(-dx, 0) + w))
+    r = x
+    if dy:
+        r = jnp.roll(r, dy, axis=0)
+        ri = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        r = jnp.where(ri >= dy if dy > 0 else ri < h + dy, r, 0.0)
+    if dx:
+        r = jnp.roll(r, dx, axis=1)
+        ci = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        r = jnp.where(ci >= dx if dx > 0 else ci < w + dx, r, 0.0)
+    return r
 
 
 def _dir_max(x: jnp.ndarray, d: int, dy: int, dx: int) -> jnp.ndarray:
-    """Max over x shifted by k*(dy, dx) for k = 1..d (log-doubling)."""
+    """Max over x shifted by k*(dy, dx) for k = 1..d (log-doubling; zero-fill
+    shifts match the zero-padding window semantics exactly)."""
     acc = _shift(x, dy, dx)
     covered = 1
     while covered < d:
@@ -48,45 +62,22 @@ def _dir_max(x: jnp.ndarray, d: int, dy: int, dx: int) -> jnp.ndarray:
     return acc
 
 
-def _window_sum(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
-    """Sum over offsets [-d..d] along `axis` (zero padding), via doubling of
-    disjoint partial sums: S_{a+b}[i] = S_a[i] + S_b[i - a]."""
-    def sh(a, k):
-        return _shift(a, *((0, k) if axis == 1 else (k, 0)))
-
-    # pad by d so the recentered lookup S[i + 2d] stays in bounds at the
-    # right edge (backward sums composed on the unpadded array lose the tail)
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (d, d)
-    xp = jnp.pad(x, pad)
-    # binary-width partial sums: pow2[k][i] = sum of xp[i - 2^k + 1 .. i]
-    target = 2 * d + 1
-    pow2 = [xp]
-    while (1 << len(pow2)) <= target:
-        w = 1 << (len(pow2) - 1)
-        pow2.append(pow2[-1] + sh(pow2[-1], w))
-    # compose S_target from binary widths (disjoint shifted spans)
-    acc, covered = None, 0
-    for k in reversed(range(len(pow2))):
-        if covered + (1 << k) <= target:
-            part = sh(pow2[k], covered) if covered else pow2[k]
-            acc = part if acc is None else acc + part
-            covered += 1 << k
-    # S_target[ip] = sum xp[ip-2d .. ip]; padded ip = i + d, so the centered
-    # window sum of x at i is S_target[i + 2d]
-    return lax.slice_in_dim(acc, 2 * d, 2 * d + x.shape[axis], axis=axis)
+def _window_parts(p: jnp.ndarray, d: int):
+    """(m_before, m_after): window maxes over the row-major offsets strictly
+    before / strictly after the center (zero padding). Their union is the
+    whole (2d+1)^2 window minus the center."""
+    left = _dir_max(p, d, 0, 1)    # p[i, j-k], k = 1..d
+    right = _dir_max(p, d, 0, -1)  # p[i, j+k]
+    row_full = jnp.maximum(jnp.maximum(left, right), p)
+    above = _dir_max(row_full, d, 1, 0)   # rows i-d..i-1, all cols
+    below = _dir_max(row_full, d, -1, 0)  # rows i+1..i+d, all cols
+    return jnp.maximum(above, left), jnp.maximum(below, right)
 
 
 def _local_max_mask(p: jnp.ndarray, d: int) -> jnp.ndarray:
     """Row-major first-argmax tie-breaking: strictly greater than every window
     value before the center, >= every value after (see detect._local_max_mask)."""
-    left = _dir_max(p, d, 0, 1)    # max of p[i, j-k]
-    right = _dir_max(p, d, 0, -1)  # max of p[i, j+k]
-    row_full = jnp.maximum(jnp.maximum(left, right), p)
-    above = _dir_max(row_full, d, 1, 0)   # rows i-d..i-1, all cols
-    below = _dir_max(row_full, d, -1, 0)  # rows i+1..i+d, all cols
-    m_before = jnp.maximum(above, left)
-    m_after = jnp.maximum(below, right)
+    m_before, m_after = _window_parts(p, d)
     return (p > m_before) & (p >= m_after)
 
 
@@ -103,9 +94,12 @@ def _nms_kernel(p_ref, out_ref, *, d: int, max_iter: int, min_value: float):
 
     def body(state):
         p, mask, count, _, i = state
-        maskf = mask.astype(jnp.float32)
-        others = _window_sum(_window_sum(maskf, d, 0), d, 1) - maskf
-        p = jnp.where(others > 0.0, jnp.float32(min_value), p)
+        # suppressed iff some OTHER local max lies in the window: max of the
+        # mask over the window minus its center
+        mf = mask.astype(jnp.float32)
+        b, a = _window_parts(mf, d)
+        others = jnp.maximum(b, a) > 0.5
+        p = jnp.where(others, jnp.float32(min_value), p)
         new_mask, new_count = count_and_mask(p)
         return p, new_mask, new_count, count, i + 1
 

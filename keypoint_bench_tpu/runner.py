@@ -448,8 +448,9 @@ class Evaluator:
                 p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
                 K0 = jnp.asarray(wp01["intrinsics0"])
                 K1 = jnp.asarray(wp01["intrinsics1"])
-                R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1,
-                                                         self.next_key())
+                R, t, pm, n_in, okp = estimate_pose_pair(
+                    p0, p1, ok, K0, K1, self.next_key(),
+                    solver=self.cfg.task_params.get("solver", "8pt"))
                 if bool(okp):
                     rec = log.put(i, {
                         "error": float(pose_error(

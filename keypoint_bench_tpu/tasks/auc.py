@@ -18,9 +18,15 @@ _HP = jax.lax.Precision.HIGHEST
 
 
 def estimate_pose_pair(m_pts0, m_pts1, match_mask, K0, K1, key,
-                       thresh_px: float = 1.0, n_hyp: int = 4096):
+                       thresh_px: float = 1.0, n_hyp: int = 4096,
+                       solver: str = "8pt"):
     """m_pts0/1 [K,2] matched pixel coords; returns (R [3,3], t [3],
-    inlier_mask [K], n_inliers, ok)."""
+    inlier_mask [K], n_inliers, ok).
+
+    solver: "8pt" (default; 8-point minimal + LO refit) or "5pt" (Stewenius
+    five-point minimal solver, geometry/fivepoint.py — exact on minimal
+    samples, the better choice in small-match-count regimes; cv2's
+    findEssentialMat kernel is 5-point, AUC.py:50)."""
     f_mean = (K0[0, 0] + K1[1, 1] + K0[0, 0] + K1[1, 1]) / 4.0  # AUC.py:45
     norm_th = thresh_px / f_mean
 
@@ -29,8 +35,16 @@ def estimate_pose_pair(m_pts0, m_pts1, match_mask, K0, K1, key,
     p1n = (m_pts1 - jnp.stack([K1[0, 2], K1[1, 2]])[None]) / \
         jnp.stack([K1[0, 0], K1[1, 1]])[None]
 
-    E, inl, ok_e = ransac_essential(p0n, p1n, match_mask, key, n_hyp=n_hyp,
-                                    thresh=norm_th)
+    if solver == "5pt":
+        from keypoint_bench_tpu.geometry.fivepoint import ransac_essential_5pt
+        # each 5-point sample yields up to 10 candidates, so fewer samples
+        # explore at least as many hypotheses as the 8-point path
+        E, inl, ok_e = ransac_essential_5pt(p0n, p1n, match_mask, key,
+                                            n_hyp=max(n_hyp // 8, 64),
+                                            thresh=norm_th)
+    else:
+        E, inl, ok_e = ransac_essential(p0n, p1n, match_mask, key,
+                                        n_hyp=n_hyp, thresh=norm_th)
     R, t, pose_mask, n_in = recover_pose(E, p0n, p1n, inl)
     ok = ok_e & (jnp.sum(match_mask) >= 5)
     return R, t, pose_mask, n_in, ok

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from keypoint_bench_tpu.ops.detect import fast_nms
-from keypoint_bench_tpu.ops.pallas_nms import fast_nms_pallas, _window_sum, _shift
+from keypoint_bench_tpu.ops.pallas_nms import fast_nms_pallas, _shift, _dir_max
 
 
 def _smooth(a, sigma):
@@ -15,17 +15,28 @@ def _smooth(a, sigma):
     return ndi.gaussian_filter(a, sigma)
 
 
-@pytest.mark.parametrize("d", [1, 2, 4, 6])
-@pytest.mark.parametrize("axis", [0, 1])
-def test_window_sum(d, axis):
+def test_shift_semantics():
     rng = np.random.default_rng(1)
-    x = rng.integers(0, 3, (12, 16)).astype(np.float32)
-    got = np.asarray(_window_sum(jnp.asarray(x), d, axis))
+    x = rng.random((6, 9)).astype(np.float32)
+    for dy, dx in [(0, 1), (0, -2), (1, 0), (-3, 0), (2, 2)]:
+        got = np.asarray(_shift(jnp.asarray(x), dy, dx))
+        exp = np.zeros_like(x)
+        for i in range(6):
+            for j in range(9):
+                ii, jj = i - dy, j - dx
+                if 0 <= ii < 6 and 0 <= jj < 9:
+                    exp[i, j] = x[ii, jj]
+        np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 6])
+def test_dir_max(d):
+    rng = np.random.default_rng(2)
+    x = rng.random((12, 16)).astype(np.float32)
+    got = np.asarray(_dir_max(jnp.asarray(x), d, 0, 1))
     exp = np.zeros_like(x)
-    for o in range(-d, d + 1):
-        exp += np.asarray(_shift(jnp.asarray(x),
-                                 o if axis == 0 else 0,
-                                 o if axis == 1 else 0))
+    stack = [np.asarray(_shift(jnp.asarray(x), 0, k)) for k in range(1, d + 1)]
+    exp = np.max(np.stack(stack), axis=0)
     np.testing.assert_allclose(got, exp)
 
 
