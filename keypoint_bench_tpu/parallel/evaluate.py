@@ -109,6 +109,48 @@ def sharded_mha_step(mesh, model_fn, params, detect_params: DetectParams,
         out_shardings=repl)
 
 
+def _auc_pair_pipeline(model_fn, params, detect_params, solver, n_hyp,
+                       img0, img1, K0, K1, pose01, key):
+    """One AUC pair fully on device: model x2 -> detect -> BF match ->
+    essential RANSAC + recoverPose -> pose error (180 on failure)."""
+    from keypoint_bench_tpu.tasks.auc import estimate_pose_pair, pose_error
+
+    score0, desc0 = model_fn(params, img0[None])
+    score1, desc1 = model_fn(params, img1[None])
+    k0, v0 = detection(score0[0], detect_params)
+    k1, v1 = detection(score1[0], detect_params)
+    m0, m1, ok = brute_force_match(k0, v0, k1, v1, desc0[0], desc1[0], 5.0)
+    h0, w0 = img0.shape[0], img0.shape[1]
+    h1, w1 = img1.shape[0], img1.shape[1]
+    p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
+    p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
+    R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1, key,
+                                             n_hyp=n_hyp, solver=solver)
+    err = jnp.where(okp, pose_error(R, t, pose01), 180.0)
+    n_in = jnp.where(okp, n_in, 0)
+    return err, n_in
+
+
+def sharded_auc_step(mesh, model_fn, params, detect_params: DetectParams,
+                     solver: str = "8pt", n_hyp: int = 4096):
+    """Mesh-sharded batched AUC: pairs shard over 'data'; returns per-pair
+    (pose errors [B], inlier counts [B]) — AUC needs the full error list for
+    its recall curve, so reduction happens host-side at end of run.
+    Requires uniform image shapes across the batch (pad/scale datasets)."""
+    data_sh = lambda ndim: NamedSharding(mesh, P("data", *[None] * (ndim - 1)))
+    fn = functools.partial(_auc_pair_pipeline, model_fn, params,
+                           detect_params, solver, n_hyp)
+
+    def step(imgs0, imgs1, K0s, K1s, poses01, keys):
+        return jax.vmap(fn)(imgs0, imgs1, K0s, K1s, poses01, keys)
+
+    return jax.jit(
+        step,
+        in_shardings=(data_sh(4), data_sh(4), data_sh(3), data_sh(3),
+                      data_sh(3), data_sh(1)),
+        out_shardings=(data_sh(1), data_sh(1)))
+
+
 def sharded_eval_step(mesh, model_fn, params, detect_params: DetectParams):
     """Build a jitted, mesh-sharded batched eval step.
 

@@ -430,7 +430,83 @@ class Evaluator:
         result["per_pair"] = [list(map(float, h)) for h in hits]
         return result
 
+    def _run_auc_sharded(self, ds):
+        """Mesh-sharded batched AUC (see _run_repeatability_sharded): pairs
+        stacked batch_size at a time over the 'data' axis; the tail that
+        doesn't fill a batch falls back to the per-pair path so the error
+        list (and hence the AUC recall curve) covers every pair."""
+        import jax as _jax
+        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        from keypoint_bench_tpu.parallel.evaluate import sharded_auc_step
+
+        ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
+        b = int(self.cfg.data_params.get("batch_size", 1))
+        n_dev = len(_jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        mesh = make_mesh(n_data=n_data, n_model=1,
+                         devices=_jax.devices()[:n_data])
+        step = sharded_auc_step(mesh, self.model_fn, self.params,
+                                self.detect_params,
+                                solver=self.cfg.task_params.get("solver",
+                                                                "8pt"))
+        errors, inliers = [], []
+        buf = []
+
+        def flush_batch(buf):
+            imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
+                               for s in buf])
+            imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
+                               for s in buf])
+            K0s = jnp.stack([jnp.asarray(s["warp01_params"]["intrinsics0"])
+                             for s in buf])
+            K1s = jnp.stack([jnp.asarray(s["warp01_params"]["intrinsics1"])
+                             for s in buf])
+            poses = jnp.stack([jnp.asarray(s["warp01_params"]["pose01"])
+                               for s in buf])
+            keys = jax.random.split(self.next_key(), len(buf))
+            with mesh:
+                errs, n_in = step(imgs0, imgs1, K0s, K1s, poses, keys)
+            errors.extend(np.asarray(errs).tolist())
+            inliers.extend(np.asarray(n_in).tolist())
+
+        for batch in _iter(ds):
+            buf.append(batch)
+            if len(buf) == b:
+                flush_batch(buf)
+                buf = []
+        for batch in buf:  # tail: per-pair
+            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
+                self._pair_maps(batch)
+            wp01 = batch["warp01_params"]
+            m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
+                                     img0.shape[1], img0.shape[0])
+            p0 = m0[:, 0:2] * jnp.asarray([img0.shape[1] - 1.0,
+                                           img0.shape[0] - 1.0])
+            p1 = m1[:, 0:2] * jnp.asarray([img1.shape[1] - 1.0,
+                                           img1.shape[0] - 1.0])
+            R, t, pm, n_in, okp = estimate_pose_pair(
+                p0, p1, ok, jnp.asarray(wp01["intrinsics0"]),
+                jnp.asarray(wp01["intrinsics1"]), self.next_key(),
+                solver=self.cfg.task_params.get("solver", "8pt"))
+            if bool(okp):
+                errors.append(float(pose_error(
+                    R, t, jnp.asarray(wp01["pose01"]))))
+                inliers.append(int(n_in))
+            else:
+                errors.append(180.0)
+                inliers.append(0)
+        aucs = pose_auc(errors, ths)
+        result = {f"AUC@{t}": float(a) for t, a in zip(ths, aucs)}
+        result["AUC_inliers"] = float(np.mean(inliers)) if inliers else 0.0
+        for a in aucs:
+            print("AUC ", a)
+        print("AUC inliers", result["AUC_inliers"])
+        result["per_pair_error"] = errors
+        return result
+
     def _run_auc(self, ds):
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+            return self._run_auc_sharded(ds)
         ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
         log = MetricLog(self.cfg.output_dir, self.cfg.resume)
         errors, inliers = [], []
