@@ -31,8 +31,11 @@ def main():
 
     from keypoint_bench_tpu.models.common import cast_params_bf16
 
-    model_fn = get_model("Alike")
-    params = load_params("Alike")
+    # Alike_s2d = same checkpoint, space-to-depth stem layout (exact math,
+    # ~10x faster full-res convs on TPU — models/alike_s2d.py)
+    model_name = os.environ.get("KBT_BENCH_MODEL", "Alike_s2d")
+    model_fn = get_model(model_name)
+    params = load_params(model_name)
     if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
         params = cast_params_bf16(params)  # bf16 MXU path, f32 accumulate
     dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)

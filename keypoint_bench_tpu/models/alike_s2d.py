@@ -1,0 +1,154 @@
+"""Space-to-depth ALIKE forward: the TPU-shaped layout for the full-res stem.
+
+Why: XLA pads convolution channels to the 128-lane width, so ALIKE-t's
+full-resolution tiny-channel convs (3->8, 8->8 at 512^2) cost the same as
+128-channel convs — measured flat ~3.5 ms regardless of width (tools/
+profile_r2.py on v5e). Rearranging 4x4 pixel blocks into channels turns the
+stem into 3x3 convs with 48->128 and 128->128 channels at 128^2 — the same
+arithmetic, an order of magnitude faster (s2d prototype: ~10x).
+
+The transform is exact at the math level: a stride-1 3x3 convolution on
+[H, W, C] equals a 3x3 convolution on the [H/b, W/b, b*b*C] block layout with
+a sparsified kernel (entries W[dy,dx] scattered to block offsets where
+|b*beta + r - a| <= 1), and ALIKE's MaxPool2 windows align with 2x2 sub-blocks
+so pooling is an in-channel max. BN/ReLU are per-channel, so parameters
+replicate b*b times. Only float summation order changes.
+
+Reference semantics: models/ALike.py:84-164 (via models/alike.py); this module
+is a drop-in forward for the same converted torch params after
+`transform_params_s2d`.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from keypoint_bench_tpu.models import common as c
+from keypoint_bench_tpu.models.alike import alike as _alike_ref  # noqa: F401 (parity target)
+from keypoint_bench_tpu.models.registry import register
+
+_B = 4  # stem block size
+
+
+def s2d(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/b, W/b, b*b*C]; channel order (r, s, c)."""
+    n, h, w, ch = x.shape
+    x = x.reshape(n, h // b, b, w // b, b, ch).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // b, w // b, b * b * ch)
+
+
+def un_s2d(x: jnp.ndarray, b: int, ch: int) -> jnp.ndarray:
+    """Inverse of s2d."""
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, b, b, ch).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * b, w * b, ch)
+
+
+def _conv_w_s2d(W: np.ndarray, b: int) -> np.ndarray:
+    """HWIO [3,3,ci,co] stride-1 pad-1 kernel -> [3,3,b*b*ci,b*b*co] block
+    kernel with identical math (zero entries where |b*beta + r - a| > 1)."""
+    kh, kw, ci, co = W.shape
+    assert kh == 3 and kw == 3
+    out = np.zeros((3, 3, b * b * ci, b * b * co), np.float32)
+    for by in (-1, 0, 1):
+        for bx in (-1, 0, 1):
+            for r in range(b):
+                for s in range(b):
+                    for a in range(b):
+                        for t in range(b):
+                            dy = b * by + r - a
+                            dx = b * bx + s - t
+                            if abs(dy) <= 1 and abs(dx) <= 1:
+                                i0 = (r * b + s) * ci
+                                o0 = (a * b + t) * co
+                                out[by + 1, bx + 1, i0:i0 + ci,
+                                    o0:o0 + co] = W[dy + 1, dx + 1]
+    return out
+
+
+def transform_params_s2d(params: dict, b: int = _B) -> dict:
+    """Converted torch params (models/alike.py contract) -> params with the
+    stem (block1.conv1/conv2 + their BNs + conv1 branch) rewritten for the
+    block layout. Low-res weights pass through untouched."""
+    p = dict(params)
+
+    def as_np(x):
+        return np.asarray(x, np.float32)
+
+    for conv in ("block1.conv1", "block1.conv2"):
+        p[f"{conv}.weight_s2d"] = jnp.asarray(
+            _conv_w_s2d(as_np(params[f"{conv}.weight"]), b))
+        if f"{conv}.bias" in params:
+            p[f"{conv}.bias_s2d"] = jnp.asarray(
+                np.tile(as_np(params[f"{conv}.bias"]), b * b))
+    for bn in ("block1.bn1", "block1.bn2"):
+        for stat in ("weight", "bias", "running_mean", "running_var"):
+            p[f"{bn}.{stat}_s2d"] = jnp.asarray(
+                np.tile(as_np(params[f"{bn}.{stat}"]), b * b))
+    # a1 branch: 1x1 conv is block-diagonal in block space
+    Wa = as_np(params["conv1.weight"])           # [1,1,8,16]
+    ci, co = Wa.shape[2], Wa.shape[3]
+    Wb = np.zeros((1, 1, b * b * ci, b * b * co), np.float32)
+    for k in range(b * b):
+        Wb[0, 0, k * ci:(k + 1) * ci, k * co:(k + 1) * co] = Wa[0, 0]
+    p["conv1.weight_s2d"] = jnp.asarray(Wb)
+    if "conv1.bias" in params:
+        p["conv1.bias_s2d"] = jnp.asarray(
+            np.tile(as_np(params["conv1.bias"]), b * b))
+    return p
+
+
+def _bn_s2d(x, p, bn):
+    return c.bn_eval(x, p[f"{bn}.weight_s2d"], p[f"{bn}.bias_s2d"],
+                     p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
+
+
+@register("Alike_s2d")
+def alike_s2d(params: dict, image: jnp.ndarray):
+    """image [B,H,W,3] (H, W multiples of 4) -> (score, desc); identical to
+    models.alike.alike up to float summation order. params must have gone
+    through transform_params_s2d."""
+    p = params
+    b = _B
+    cast = (lambda w: w.astype(jnp.bfloat16)) if \
+        p["block2.conv1.weight"].dtype == jnp.bfloat16 else (lambda w: w)
+
+    xb = s2d(image, b)                                        # [B,H/4,W/4,48]
+    y = c.conv2d(xb, cast(p["block1.conv1.weight_s2d"]),
+                 p.get("block1.conv1.bias_s2d"), 1, 1)
+    y = c.relu(_bn_s2d(y, p, "block1.bn1"))
+    y = c.conv2d(y, cast(p["block1.conv2.weight_s2d"]),
+                 p.get("block1.conv2.bias_s2d"), 1, 1)
+    x1b = c.relu(_bn_s2d(y, p, "block1.bn2"))                 # [B,H/4,W/4,128]
+
+    a1b = c.relu(c.conv2d(x1b, cast(p["conv1.weight_s2d"]),
+                          p.get("conv1.bias_s2d"), 1, 0))     # [.,.,.,256]
+    a1 = un_s2d(a1b, b, p["conv1.weight"].shape[-1])          # full res
+
+    # MaxPool2 on full-res x1 == max over the 2x2 sub-blocks: channel index
+    # (r, s, c) with r = 2*r1 + r0 -> reduce r0, s0; the (r1, s1, c) result is
+    # the s2d(2) layout of pooled x1 at H/2
+    n, h, w, _ = x1b.shape
+    cc = p["block1.conv2.weight"].shape[-1]
+    v = x1b.reshape(n, h, w, 2, 2, 2, 2, cc)
+    pooled = jnp.max(jnp.max(v, axis=6), axis=4)              # drop s0, r0
+    x1p = un_s2d(pooled.reshape(n, h, w, 4 * cc), 2, cc)      # [B,H/2,W/2,8]
+
+    x2 = c.res_block(x1p, p, "block2")
+    x3 = c.res_block(c.max_pool(x2, 4), p, "block3")
+    x4 = c.res_block(c.max_pool(x3, 4), p, "block4")
+
+    a2 = c.relu(c.conv2d(x2, p["conv2.weight"], p.get("conv2.bias"), 1, 0))
+    a3 = c.relu(c.conv2d(x3, p["conv3.weight"], p.get("conv3.bias"), 1, 0))
+    a4 = c.relu(c.conv2d(x4, p["conv4.weight"], p.get("conv4.bias"), 1, 0))
+
+    a2 = c.upsample_bilinear_align(a2, 2)
+    a3 = c.upsample_bilinear_align(a3, 8)
+    a4 = c.upsample_bilinear_align(a4, 32)
+    agg = jnp.concatenate([a1, a2, a3, a4], axis=-1)
+
+    head = c.conv2d(agg, p["convhead2.weight"], p.get("convhead2.bias"), 1, 0)
+    desc = head[..., :-1]
+    score = jax.nn.sigmoid(head[..., -1:])
+    return score, desc

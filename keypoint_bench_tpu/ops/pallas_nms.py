@@ -81,31 +81,39 @@ def _local_max_mask(p: jnp.ndarray, d: int) -> jnp.ndarray:
     return (p > m_before) & (p >= m_after)
 
 
-def _nms_kernel(p_ref, out_ref, *, d: int, max_iter: int, min_value: float):
-    p0 = p_ref[...].astype(jnp.float32)
-
+def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
+                min_value: float):
+    """Fixpoint loop with all loop state in scratch refs: Mosaic cannot
+    legalize lax.while_loop carrying whole-map vectors (scf.yield of ~500
+    8x128 vector chunks), but a fori_loop whose body only mutates VMEM/SMEM
+    scratch lowers cleanly. cnt_ref holds [count, prev_count]."""
     def count_and_mask(p):
         mask = _local_max_mask(p, d)
         return mask, jnp.sum(mask.astype(jnp.int32))
 
-    def cond(state):
-        _, _, count, prev, i = state
-        return (count != prev) & (i < max_iter)
+    out_ref[...] = p_ref[...].astype(jnp.float32)
+    mask0, count0 = count_and_mask(out_ref[...])
+    mask_ref[...] = mask0.astype(jnp.float32)
+    cnt_ref[0] = count0
+    cnt_ref[1] = jnp.int32(-1)
 
-    def body(state):
-        p, mask, count, _, i = state
-        # suppressed iff some OTHER local max lies in the window: max of the
-        # mask over the window minus its center
-        mf = mask.astype(jnp.float32)
-        b, a = _window_parts(mf, d)
-        others = jnp.maximum(b, a) > 0.5
-        p = jnp.where(others, jnp.float32(min_value), p)
-        new_mask, new_count = count_and_mask(p)
-        return p, new_mask, new_count, count, i + 1
+    def body(_, carry):
+        @pl.when(cnt_ref[0] != cnt_ref[1])
+        def _round():
+            p = out_ref[...]
+            # suppressed iff some OTHER local max lies in the window: max of
+            # the mask over the window minus its center
+            b, a = _window_parts(mask_ref[...], d)
+            others = jnp.maximum(b, a) > 0.5
+            p = jnp.where(others, jnp.float32(min_value), p)
+            new_mask, new_count = count_and_mask(p)
+            out_ref[...] = p
+            mask_ref[...] = new_mask.astype(jnp.float32)
+            cnt_ref[1] = cnt_ref[0]
+            cnt_ref[0] = new_count
+        return carry
 
-    mask0, count0 = count_and_mask(p0)
-    state = (p0, mask0, count0, jnp.int32(-1), jnp.int32(0))
-    out_ref[...] = lax.while_loop(cond, body, state)[0]
+    lax.fori_loop(0, max_iter, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("nms_dist", "max_iter",
@@ -115,11 +123,14 @@ def fast_nms_pallas(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
     """Drop-in for detect.fast_nms on (H, W) maps small enough for VMEM."""
     if nms_dist == 0:
         return probs
+    from jax.experimental.pallas import tpu as pltpu
     kernel = functools.partial(_nms_kernel, d=nms_dist, max_iter=max_iter,
                                min_value=min_value)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(probs.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM(probs.shape, jnp.float32),
+                        pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
     )(probs)
     return out.astype(probs.dtype)

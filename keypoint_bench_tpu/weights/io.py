@@ -21,6 +21,10 @@ WEIGHTS_DIR = os.environ.get(
 
 @functools.lru_cache(maxsize=None)
 def load_params(name: str, weights_dir: str | None = None) -> dict:
+    if name == "Alike_s2d":
+        # layout variant of the same checkpoint (models/alike_s2d.py)
+        from keypoint_bench_tpu.models.alike_s2d import transform_params_s2d
+        return transform_params_s2d(load_params("Alike", weights_dir))
     path = os.path.join(weights_dir or WEIGHTS_DIR, f"{name}.npz")
     data = np.load(path)
     return {k: jnp.asarray(data[k]) for k in data.files}
