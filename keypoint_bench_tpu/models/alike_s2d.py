@@ -67,6 +67,25 @@ def _conv_w_s2d(W: np.ndarray, b: int) -> np.ndarray:
     return out
 
 
+def _stem_w8(W1b: np.ndarray, b: int, ci: int) -> np.ndarray:
+    """Block kernel [3,3,b*b*ci,co_blk] -> strided raw-image kernel
+    [2b, 2b, ci, co_blk] for conv(stride=b, pad=(1, b-1)): folds the s2d
+    input transform into the convolution itself (tap t reads input row
+    b*I - 1 + t = b*I + (b*beta + r) for t = b*beta + r + 1)."""
+    co_blk = W1b.shape[-1]
+    out = np.zeros((2 * b, 2 * b, ci, co_blk), np.float32)
+    for by in (-1, 0, 1):
+        for bx in (-1, 0, 1):
+            for r in range(b):
+                for s in range(b):
+                    row = b * by + r + 1
+                    col = b * bx + s + 1
+                    if 0 <= row < 2 * b and 0 <= col < 2 * b:
+                        i0 = (r * b + s) * ci
+                        out[row, col] += W1b[by + 1, bx + 1, i0:i0 + ci]
+    return out
+
+
 def transform_params_s2d(params: dict, b: int = _B) -> dict:
     """Converted torch params (models/alike.py contract) -> params with the
     stem (block1.conv1/conv2 + their BNs + conv1 branch) rewritten for the
@@ -82,6 +101,12 @@ def transform_params_s2d(params: dict, b: int = _B) -> dict:
         if f"{conv}.bias" in params:
             p[f"{conv}.bias_s2d"] = jnp.asarray(
                 np.tile(as_np(params[f"{conv}.bias"]), b * b))
+    # first conv additionally as a stride-b kernel on the raw image (no s2d
+    # transpose of the input needed)
+    ci0 = as_np(params["block1.conv1.weight"]).shape[2]
+    p["block1.conv1.weight_s2d8"] = jnp.asarray(
+        _stem_w8(np.asarray(p["block1.conv1.weight_s2d"], np.float32), b,
+                 ci0))
     for bn in ("block1.bn1", "block1.bn2"):
         for stat in ("weight", "bias", "running_mean", "running_var"):
             p[f"{bn}.{stat}_s2d"] = jnp.asarray(
@@ -108,15 +133,37 @@ def _bn_s2d(x, p, bn):
 def alike_s2d(params: dict, image: jnp.ndarray):
     """image [B,H,W,3] (H, W multiples of 4) -> (score, desc); identical to
     models.alike.alike up to float summation order. params must have gone
-    through transform_params_s2d."""
+    through transform_params_s2d.
+
+    Beyond the s2d stem, two more measured TPU rewrites (tools/profile_r2c.py):
+    * the first block conv runs as a stride-4 conv on the raw image (kernel
+      _stem_w8), folding the s2d transpose away entirely;
+    * the aggregation head is decomposed per branch BEFORE upsampling
+      (1x1 head o upsample == upsample o 1x1 head, both linear): the 64-lane
+      channel concat at full res cost ~7.4 ms on v5e (misaligned 16-lane
+      pieces force relayouts), while per-branch low-res heads + fused adds
+      avoid it, and the desc/score split happens in the weights so no
+      channel slicing remains at full res.
+    """
     p = params
     b = _B
     cast = (lambda w: w.astype(jnp.bfloat16)) if \
         p["block2.conv1.weight"].dtype == jnp.bfloat16 else (lambda w: w)
+    hp = None if cast(p["block2.conv1.weight"]).dtype == jnp.bfloat16 \
+        else jax.lax.Precision.HIGHEST
 
-    xb = s2d(image, b)                                        # [B,H/4,W/4,48]
-    y = c.conv2d(xb, cast(p["block1.conv1.weight_s2d"]),
-                 p.get("block1.conv1.bias_s2d"), 1, 1)
+    # stem: s2d + conv1_blk as one strided conv on the raw image
+    w8 = cast(p["block1.conv1.weight_s2d8"])
+    dn = jax.lax.conv_dimension_numbers(image.shape, w8.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        image.astype(w8.dtype), w8, (b, b), [(1, b - 1), (1, b - 1)],
+        dimension_numbers=dn,
+        precision=c._CONV_PRECISION[0],
+        preferred_element_type=jnp.bfloat16 if w8.dtype == jnp.bfloat16
+        else jnp.float32)
+    if "block1.conv1.bias_s2d" in p:
+        y = y + p["block1.conv1.bias_s2d"]
     y = c.relu(_bn_s2d(y, p, "block1.bn1"))
     y = c.conv2d(y, cast(p["block1.conv2.weight_s2d"]),
                  p.get("block1.conv2.bias_s2d"), 1, 1)
@@ -143,12 +190,32 @@ def alike_s2d(params: dict, image: jnp.ndarray):
     a3 = c.relu(c.conv2d(x3, p["conv3.weight"], p.get("conv3.bias"), 1, 0))
     a4 = c.relu(c.conv2d(x4, p["conv4.weight"], p.get("conv4.bias"), 1, 0))
 
-    a2 = c.upsample_bilinear_align(a2, 2)
-    a3 = c.upsample_bilinear_align(a3, 8)
-    a4 = c.upsample_bilinear_align(a4, 32)
-    agg = jnp.concatenate([a1, a2, a3, a4], axis=-1)
+    # decomposed head: head(concat(a_i)) == sum_i a_i @ Wh[16i:16(i+1)], and
+    # the 1x1 head commutes with bilinear upsampling, so each low-res branch
+    # is projected to (desc 64 | score 1) first and upsampled after
+    wh = cast(p["convhead2.weight"])[0, 0]                    # [64, 65]
+    bh = p.get("convhead2.bias")
+    per = a1.shape[-1]
 
-    head = c.conv2d(agg, p["convhead2.weight"], p.get("convhead2.bias"), 1, 0)
-    desc = head[..., :-1]
-    score = jax.nn.sigmoid(head[..., -1:])
-    return score, desc
+    def proj(a, i):
+        whi = wh[i * per:(i + 1) * per]
+        d = jnp.einsum("bhwc,cd->bhwd", a, whi[:, :-1], precision=hp)
+        s = jnp.einsum("bhwc,c->bhw", a, whi[:, -1], precision=hp)
+        return d, s[..., None]
+
+    d1, s1 = proj(a1, 0)
+    d2, s2 = proj(a2, 1)
+    d3, s3 = proj(a3, 2)
+    d4, s4 = proj(a4, 3)
+    d2 = c.upsample_bilinear_align(d2, 2)
+    d3 = c.upsample_bilinear_align(d3, 8)
+    d4 = c.upsample_bilinear_align(d4, 32)
+    s2 = c.upsample_bilinear_align(s2, 2)
+    s3 = c.upsample_bilinear_align(s3, 8)
+    s4 = c.upsample_bilinear_align(s4, 32)
+    desc = d1 + d2 + d3 + d4
+    score = s1 + s2 + s3 + s4
+    if bh is not None:
+        desc = desc + bh[:-1]
+        score = score + bh[-1]
+    return jax.nn.sigmoid(score.astype(jnp.float32)).astype(desc.dtype), desc
