@@ -49,8 +49,9 @@ def main():
         return jnp.sum(ok), k0, m1
 
     # sweet spot: 4 for the reference layout (HBM working set); the fast
-    # layout keeps scaling (8: 474, 16: 509, 32: 549 fps measured)
-    default_batch = "32" if model_name == "Alike_s2d" else "4"
+    # layout keeps scaling (8: 474, 16: 509, 32: 549, 64: 591, 96: 619,
+    # 128: 576 fps measured)
+    default_batch = "96" if model_name == "Alike_s2d" else "4"
     batch = int(os.environ.get("KBT_BENCH_BATCH", default_batch))
     step = jax.jit(jax.vmap(pair_step))
 

@@ -207,14 +207,28 @@ def alike_s2d(params: dict, image: jnp.ndarray):
     d2, s2 = proj(a2, 1)
     d3, s3 = proj(a3, 2)
     d4, s4 = proj(a4, 3)
-    d2 = c.upsample_bilinear_align(d2, 2)
-    d3 = c.upsample_bilinear_align(d3, 8)
-    d4 = c.upsample_bilinear_align(d4, 32)
-    s2 = c.upsample_bilinear_align(s2, 2)
-    s3 = c.upsample_bilinear_align(s3, 8)
-    s4 = c.upsample_bilinear_align(s4, 32)
-    desc = d1 + d2 + d3 + d4
-    score = s1 + s2 + s3 + s4
+
+    # upsample-and-sum as ONE row-interp matmul: bilinear upsampling is
+    # separable, so column-upsample each branch at its own (low) row count,
+    # concatenate along rows (major dim — cheap), and a single combined
+    # [H, h2+h3+h4] interp matrix computes up2 + up8 + up32 in one MXU dot
+    # instead of three full-res tensors plus a 4-way add
+    H, W = a1.shape[1], a1.shape[2]
+
+    def combined_up(p2, p3, p4):
+        dt = p2.dtype
+        cols = [jnp.einsum("ow,bhwc->bhoc",
+                           jnp.asarray(c._interp_matrix(W, p.shape[2]), dt),
+                           p, precision=hp)
+                for p in (p2, p3, p4)]
+        rows_in = jnp.concatenate(cols, axis=1)       # [B, h2+h3+h4, W, C]
+        A = np.concatenate([c._interp_matrix(H, p.shape[1])
+                            for p in (p2, p3, p4)], axis=1)
+        return jnp.einsum("oh,bhwc->bowc", jnp.asarray(A, dt), rows_in,
+                          precision=hp)
+
+    desc = d1 + combined_up(d2, d3, d4)
+    score = s1 + combined_up(s2, s3, s4)
     if bh is not None:
         desc = desc + bh[:-1]
         score = score + bh[-1]
