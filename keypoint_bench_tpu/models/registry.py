@@ -17,9 +17,10 @@ def get_model(name: str):
         # import model modules lazily so a single broken model doesn't take
         # down the whole registry
         import importlib
-        for mod in ("alike", "alike_s2d", "letnet", "goodpoint", "superpoint",
-                    "xfeat", "edgepoint", "keynet", "harris", "disk", "r2d2",
-                    "sfd2", "d2net", "lightglue", "orb", "sift"):
+        for mod in ("alike", "alike_s2d", "tiny_s2d", "letnet", "goodpoint",
+                    "superpoint", "xfeat", "edgepoint", "keynet", "harris",
+                    "disk", "r2d2", "sfd2", "d2net", "lightglue", "orb",
+                    "sift"):
             full = f"keypoint_bench_tpu.models.{mod}"
             try:
                 importlib.import_module(full)

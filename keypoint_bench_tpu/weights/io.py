@@ -25,6 +25,13 @@ def load_params(name: str, weights_dir: str | None = None) -> dict:
         # layout variant of the same checkpoint (models/alike_s2d.py)
         from keypoint_bench_tpu.models.alike_s2d import transform_params_s2d
         return transform_params_s2d(load_params("Alike", weights_dir))
+    if name == "LETNet_s2d":
+        from keypoint_bench_tpu.models.tiny_s2d import transform_letnet_s2d
+        return transform_letnet_s2d(load_params("LETNet", weights_dir))
+    if name == "GoodPoint_s2d":
+        from keypoint_bench_tpu.models.tiny_s2d import \
+            transform_goodpoint_s2d
+        return transform_goodpoint_s2d(load_params("GoodPoint", weights_dir))
     path = os.path.join(weights_dir or WEIGHTS_DIR, f"{name}.npz")
     data = np.load(path)
     return {k: jnp.asarray(data[k]) for k in data.files}
