@@ -88,18 +88,33 @@ class MetricLog:
         elif os.path.exists(self.path):
             os.remove(self.path)
         self._f = open(self.path, "a")
+        self._pending: list[tuple[int, dict]] = []
 
     def get(self, i: int):
         return self.done.get(i)
 
+    # Values may be device scalars: conversion (float()) forces a device
+    # sync, so writes lag by `flush_depth` pairs — the device dispatches
+    # ahead while older results drain (a crash loses at most flush_depth
+    # journal lines, which simply recompute on resume).
+    _FLUSH_DEPTH = 8
+
     def put(self, i: int, rec: dict):
+        self._pending.append((i, rec))
+        while len(self._pending) > self._FLUSH_DEPTH:
+            self._write(*self._pending.pop(0))
+        return rec
+
+    def _write(self, i: int, rec: dict):
         rec = {"i": i, **{k: (v if isinstance(v, (str, int, list, bool))
                               else float(v)) for k, v in rec.items()}}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
-        return rec
 
     def close(self):
+        for i, rec in self._pending:
+            self._write(i, rec)
+        self._pending = []
         self._f.close()
 
 
@@ -312,9 +327,11 @@ class Evaluator:
                 scale = float(wp01.get("resize", wp01["width"]))
                 out = repeatability_pair(k0, v0, k1, v1, a0, a01, va,
                                          b0, b10, vb, scale, th)
+                # device scalars go in as-is: MetricLog journals with a lag
+                # so the host never blocks on the pair it just dispatched
                 rec = log.put(i, {"repeatability": out["repeatability"],
                                   "mean_error": out["mean_error"],
-                                  "num_feat": int(out["num_feat"])})
+                                  "num_feat": out["num_feat"]})
                 if self.cfg.task_params.get("save_images"):
                     # keypoint overlays like the reference writes per pair
                     # (tasks/repeatability.py:117-121), behind a flag
@@ -335,13 +352,13 @@ class Evaluator:
             errs.append(rec["mean_error"])
             feats.append(rec["num_feat"])
         log.close()
-        errs = np.asarray(errs)
+        errs = np.asarray([float(e) for e in errs])
         result = {
-            "repeatability": float(np.mean(reps)),
+            "repeatability": float(np.mean([float(r) for r in reps])),
             "rep_mean_err": float(np.mean(errs[~np.isnan(errs)]))
             if len(errs) else float("nan"),
-            "num_feat": float(np.mean(feats)),
-            "per_pair_repeatability": reps,
+            "num_feat": float(np.mean([float(f) for f in feats])),
+            "per_pair_repeatability": [float(r) for r in reps],
         }
         print("repeatability", result["repeatability"],
               " rep_mean_err", result["rep_mean_err"])
@@ -419,10 +436,11 @@ class Evaluator:
                                wp01["width"], wp01["height"],
                                img0.shape[0], img0.shape[1], self.next_key(),
                                thresholds=ths)
-                rec = log.put(i, {f"h{t}": float(v)
-                                  for t, v in zip(ths, np.asarray(out))})
-            hits.append(np.array([rec[f"h{t}"] for t in ths]))
+                rec = log.put(i, {f"h{t}": out[k]
+                                  for k, t in enumerate(ths)})
+            hits.append(rec)
         log.close()
+        hits = [np.array([float(r[f"h{t}"]) for t in ths]) for r in hits]
         result_arr = np.mean(np.stack(hits), axis=0)
         result = {f"MHA@{t}": float(v) for t, v in zip(ths, result_arr)}
         for t, v in zip(ths, result_arr):
@@ -527,16 +545,17 @@ class Evaluator:
                 R, t, pm, n_in, okp = estimate_pose_pair(
                     p0, p1, ok, K0, K1, self.next_key(),
                     solver=self.cfg.task_params.get("solver", "8pt"))
-                if bool(okp):
-                    rec = log.put(i, {
-                        "error": float(pose_error(
-                            R, t, jnp.asarray(wp01["pose01"]))),
-                        "inliers": int(n_in)})
-                else:
-                    rec = log.put(i, {"error": 180.0, "inliers": 0})
+                # failure -> 180 deg / 0 inliers decided on device (no
+                # per-pair host sync)
+                err = jnp.where(okp, pose_error(
+                    R, t, jnp.asarray(wp01["pose01"])), 180.0)
+                rec = log.put(i, {"error": err,
+                                  "inliers": jnp.where(okp, n_in, 0)})
             errors.append(rec["error"])
             inliers.append(rec["inliers"])
         log.close()
+        errors = [float(e) for e in errors]
+        inliers = [float(v) for v in inliers]
         aucs = pose_auc(errors, ths)
         result = {f"AUC@{t}": float(a) for t, a in zip(ths, aucs)}
         result["AUC_inliers"] = float(np.mean(inliers))
