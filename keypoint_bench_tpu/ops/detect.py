@@ -41,6 +41,9 @@ _AUTO_IMPL = "xla"
 def set_nms_impl(impl: str):
     assert impl in ("auto", "xla", "pallas")
     _NMS_IMPL[0] = impl
+    # detection() reads the selector at trace time; drop its cached traces
+    # so the switch applies to already-compiled shapes too
+    detection.clear_cache()
 
 
 @dataclasses.dataclass(frozen=True)
