@@ -73,21 +73,38 @@ class MetricLog:
     (SURVEY.md §5.4: resume = re-entering the eval loop at sample k; the
     reference has no resume story at all)."""
 
-    def __init__(self, output_dir: str, resume: bool):
+    def __init__(self, output_dir: str, resume: bool,
+                 meta: dict | None = None):
+        """`meta` guards resume against config drift: the journal's first
+        line records it, and a resume whose meta differs (e.g. MHA `th` list
+        changed) discards the journal instead of replaying records whose
+        keys/values no longer mean the same thing."""
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "progress.jsonl")
         self.done: dict[int, dict] = {}
+        keep = False
         if resume and os.path.exists(self.path):
+            journal_meta = None
+            recs = []
             with open(self.path) as f:
                 for line in f:
                     try:
                         rec = json.loads(line)
-                        self.done[rec["i"]] = rec
-                    except (json.JSONDecodeError, KeyError):
-                        pass
-        elif os.path.exists(self.path):
+                    except json.JSONDecodeError:
+                        continue
+                    if "meta" in rec:
+                        journal_meta = rec["meta"]
+                    elif "i" in rec:
+                        recs.append(rec)
+            if meta is None or journal_meta == meta:
+                keep = True
+                self.done = {rec["i"]: rec for rec in recs}
+        if not keep and os.path.exists(self.path):
             os.remove(self.path)
         self._f = open(self.path, "a")
+        if not keep and meta is not None:
+            self._f.write(json.dumps({"meta": meta}) + "\n")
+            self._f.flush()
         self._pending: list[tuple[int, dict]] = []
 
     def get(self, i: int):
@@ -251,58 +268,109 @@ class Evaluator:
         s1, d1, k1, v1 = self.detect(img1)
         return img0, img1, s0, d0, k0, v0, s1, d1, k1, v1
 
+    def _sharded_mesh(self, b: int):
+        """'data'-axis mesh over as many devices as divide the batch size."""
+        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        return make_mesh(n_data=n_data, n_model=1,
+                         devices=jax.devices()[:n_data]), n_data
+
+    @staticmethod
+    def _stack_homo_batch(samples):
+        """Stack a homography-pair batch for the sharded steps."""
+        imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
+                           for s in samples])
+        imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
+                           for s in samples])
+        Hs = jnp.stack([jnp.asarray(s["warp01_params"]["homography_matrix"])
+                        for s in samples])
+        Hinvs = jnp.stack([jnp.asarray(s["warp10_params"]
+                                       ["homography_matrix"])
+                           for s in samples])
+        sizes = jnp.stack([jnp.asarray(
+            [float(s["warp01_params"]["width"]),
+             float(s["warp01_params"]["height"])]) for s in samples])
+        scales = jnp.asarray([
+            float(s["warp01_params"].get("resize",
+                                         s["warp01_params"]["width"]))
+            for s in samples])
+        return imgs0, imgs1, Hs, Hinvs, sizes, scales
+
+    def _rep_pair_record(self, batch, th: float):
+        """Per-pair repeatability record (shared by the per-pair loop and the
+        sharded path's ragged tail). Returns (record, (k0, v0, k1, v1))."""
+        _, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+        wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+        a0, a01, va = self._warp(k0, v0, wp01)
+        b0, b10, vb = self._warp(k1, v1, wp10)
+        scale = float(wp01.get("resize", wp01["width"]))
+        out = repeatability_pair(k0, v0, k1, v1, a0, a01, va,
+                                 b0, b10, vb, scale, th)
+        return {"repeatability": out["repeatability"],
+                "mean_error": out["mean_error"],
+                "num_feat": out["num_feat"]}, (k0, v0, k1, v1)
+
     def _run_repeatability_sharded(self, ds):
         """Mesh-sharded batched path for homography-pair datasets: pairs are
         stacked `batch_size` at a time and sharded over the 'data' axis
-        (enabled with data_params.batch_size > 1; falls back per-pair for
-        ragged tails and non-homography warps)."""
-        import jax as _jax
-        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        (enabled with data_params.batch_size > 1). The ragged tail that does
+        not fill a batch runs through the per-pair path so the means cover
+        EVERY pair (reference protocol: model_interface.py:119-133)."""
         from keypoint_bench_tpu.parallel.evaluate import sharded_eval_step
 
+        th = float(self.cfg.task_params.get("th", 3.0))
         b = int(self.cfg.data_params.get("batch_size", 1))
-        n_dev = len(_jax.devices())
-        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
-        mesh = make_mesh(n_data=n_data, n_model=1,
-                         devices=_jax.devices()[:n_data])
+        mesh, n_data = self._sharded_mesh(b)
         step = sharded_eval_step(mesh, self.model_fn, self.params,
-                                 self.detect_params)
-        reps, feats = [], []
-        batch_buf = []
-        for batch in _iter(ds):
-            batch_buf.append(batch)
-            if len(batch_buf) < b:
-                continue
-            imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
-                               for s in batch_buf])
-            imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
-                               for s in batch_buf])
-            Hs = jnp.stack([jnp.asarray(s["warp01_params"]
-                                        ["homography_matrix"])
-                            for s in batch_buf])
-            Hinvs = jnp.stack([jnp.asarray(s["warp10_params"]
-                                           ["homography_matrix"])
-                               for s in batch_buf])
-            sizes = jnp.stack([jnp.asarray(
-                [float(s["warp01_params"]["width"]),
-                 float(s["warp01_params"]["height"])]) for s in batch_buf])
-            scales = jnp.asarray([
-                float(s["warp01_params"].get("resize",
-                                             s["warp01_params"]["width"]))
-                for s in batch_buf])
+                                 self.detect_params, th=th,
+                                 bf_max_distance=self.bf_max_distance)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "repeatability", "th": th})
+        recs: dict[int, dict] = {}
+        buf: list[tuple[int, dict]] = []
+
+        def flush(buf):
+            samples = [s for _, s in buf]
+            inputs = self._stack_homo_batch(samples)
             keys = jax.random.split(self.next_key(), b)
             with mesh:
-                out = step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
-            reps.append(float(out["repeatability"]))
-            feats.append(float(out["num_feat"]))
-            batch_buf = []
+                out = step(*inputs, keys)
+            rep = np.asarray(out["repeatability"])
+            me = np.asarray(out["mean_error"])
+            nf = np.asarray(out["num_feat"])
+            for j, (i, _) in enumerate(buf):
+                recs[i] = log.put(i, {"repeatability": float(rep[j]),
+                                      "mean_error": float(me[j]),
+                                      "num_feat": float(nf[j])})
+
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is not None:
+                recs[i] = rec
+                continue
+            buf.append((i, batch))
+            if len(buf) == b:
+                flush(buf)
+                buf = []
+        for i, batch in buf:  # ragged tail: per-pair
+            rec, _ = self._rep_pair_record(batch, th)
+            recs[i] = log.put(i, rec)
+        log.close()
+        order = sorted(recs)
+        reps = [float(recs[i]["repeatability"]) for i in order]
+        errs = np.asarray([float(recs[i]["mean_error"]) for i in order])
+        feats = [float(recs[i]["num_feat"]) for i in order]
         result = {
             "repeatability": float(np.mean(reps)) if reps else float("nan"),
+            "rep_mean_err": float(np.mean(errs[~np.isnan(errs)]))
+            if len(errs) else float("nan"),
             "num_feat": float(np.mean(feats)) if feats else float("nan"),
-            "batches": len(reps),
+            "per_pair_repeatability": reps,
         }
-        print("repeatability", result["repeatability"], "(sharded,",
-              n_data, "devices)")
+        print("repeatability", result["repeatability"],
+              " rep_mean_err", result["rep_mean_err"],
+              f"(sharded, {n_data} devices)")
         return result
 
     def save_metric_plot(self, values, name):
@@ -312,26 +380,23 @@ class Evaluator:
         plot_series(values, os.path.join(self.cfg.output_dir, f"{name}.png"))
 
     def _run_repeatability(self, ds):
-        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1 and \
+                len(ds) > 0 and \
+                ds[0]["warp01_params"].get("mode") == "homo":
+            # the sharded pipeline stacks homography warps only; SE3-warp
+            # datasets fall through to the per-pair loop
             return self._run_repeatability_sharded(ds)
         th = float(self.cfg.task_params.get("th", 3.0))
-        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "repeatability", "th": th})
         reps, errs, feats = [], [], []
         for i, batch in enumerate(_iter(ds)):
             rec = log.get(i)
             if rec is None:
-                _, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
-                wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
-                a0, a01, va = self._warp(k0, v0, wp01)
-                b0, b10, vb = self._warp(k1, v1, wp10)
-                scale = float(wp01.get("resize", wp01["width"]))
-                out = repeatability_pair(k0, v0, k1, v1, a0, a01, va,
-                                         b0, b10, vb, scale, th)
+                out, (k0, v0, k1, v1) = self._rep_pair_record(batch, th)
                 # device scalars go in as-is: MetricLog journals with a lag
                 # so the host never blocks on the pair it just dispatched
-                rec = log.put(i, {"repeatability": out["repeatability"],
-                                  "mean_error": out["mean_error"],
-                                  "num_feat": out["num_feat"]})
+                rec = log.put(i, out)
                 if self.cfg.task_params.get("save_images"):
                     # keypoint overlays like the reference writes per pair
                     # (tasks/repeatability.py:117-121), behind a flag
@@ -364,155 +429,174 @@ class Evaluator:
               " rep_mean_err", result["rep_mean_err"])
         return result
 
+    def _mha_pair_record(self, batch, ths):
+        """Per-pair MHA record (shared by the per-pair loop and the sharded
+        path's ragged tail)."""
+        img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+        wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
+        a0, _, va = self._warp(k0, v0, wp01)
+        b0, _, vb = self._warp(k1, v1, wp10)
+        # brute-force on covisible sets (MHA.py:33-39); fixed-K rows,
+        # validity = covisible
+        m0, m1, ok = self._match(k0, va, k1, vb, d0, d1,
+                                 img0.shape[1], img0.shape[0])
+        out = mha_pair(m0, m1, ok,
+                       jnp.asarray(wp01["homography_matrix"]),
+                       wp01["width"], wp01["height"],
+                       img0.shape[0], img0.shape[1], self.next_key(),
+                       thresholds=ths)
+        return {f"h{t:g}": out[k] for k, t in enumerate(ths)}
+
     def _run_mha_sharded(self, ds):
-        """Mesh-sharded batched MHA (see _run_repeatability_sharded)."""
-        import jax as _jax
-        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        """Mesh-sharded batched MHA (see _run_repeatability_sharded): the
+        ragged tail runs per-pair so the mean hit rates cover every pair."""
         from keypoint_bench_tpu.parallel.evaluate import sharded_mha_step
 
         ths = tuple(float(t) for t in self.cfg.task_params.get(
             "th", [3, 5, 7]))
         b = int(self.cfg.data_params.get("batch_size", 1))
-        n_dev = len(_jax.devices())
-        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
-        mesh = make_mesh(n_data=n_data, n_model=1,
-                         devices=_jax.devices()[:n_data])
+        mesh, n_data = self._sharded_mesh(b)
         step = sharded_mha_step(mesh, self.model_fn, self.params,
-                                self.detect_params, ths)
-        hit_batches = []
-        buf = []
-        for batch in _iter(ds):
-            buf.append(batch)
-            if len(buf) < b:
-                continue
-            imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
-                               for s in buf])
-            imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
-                               for s in buf])
-            Hs = jnp.stack([jnp.asarray(
-                s["warp01_params"]["homography_matrix"]) for s in buf])
-            Hinvs = jnp.stack([jnp.asarray(
-                s["warp10_params"]["homography_matrix"]) for s in buf])
-            sizes = jnp.stack([jnp.asarray(
-                [float(s["warp01_params"]["width"]),
-                 float(s["warp01_params"]["height"])]) for s in buf])
-            scales = jnp.asarray([
-                float(s["warp01_params"].get("resize",
-                                             s["warp01_params"]["width"]))
-                for s in buf])
+                                self.detect_params, ths,
+                                bf_max_distance=self.bf_max_distance)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "MHA", "th": list(ths)})
+        recs: dict[int, dict] = {}
+        buf: list[tuple[int, dict]] = []
+
+        def flush(buf):
+            inputs = self._stack_homo_batch([s for _, s in buf])
             keys = jax.random.split(self.next_key(), b)
             with mesh:
-                hits = step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
-            hit_batches.append(np.asarray(hits))
-            buf = []
-        mean_hits = np.mean(np.stack(hit_batches), axis=0) if hit_batches \
+                hits = np.asarray(step(*inputs, keys))  # [b, T]
+            for j, (i, _) in enumerate(buf):
+                recs[i] = log.put(i, {f"h{t:g}": float(hits[j, k])
+                                      for k, t in enumerate(ths)})
+
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is not None:
+                recs[i] = rec
+                continue
+            buf.append((i, batch))
+            if len(buf) == b:
+                flush(buf)
+                buf = []
+        for i, batch in buf:  # ragged tail: per-pair
+            recs[i] = log.put(i, self._mha_pair_record(batch, ths))
+        log.close()
+        hits = [np.array([float(recs[i][f"h{t:g}"]) for t in ths])
+                for i in sorted(recs)]
+        mean_hits = np.mean(np.stack(hits), axis=0) if hits \
             else np.full(len(ths), np.nan)
-        result = {f"MHA@{int(t)}": float(v)
+        result = {f"MHA@{t:g}": float(v)
                   for t, v in zip(ths, mean_hits)}
         for t, v in zip(ths, mean_hits):
             print("MHA ", v)
+        result["per_pair"] = [list(map(float, h)) for h in hits]
         return result
 
     def _run_mha(self, ds):
-        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1 and \
+                self.matcher_type == "brute_force":
+            # the sharded pipeline implements brute-force matching only;
+            # other matchers fall through to the per-pair loop
             return self._run_mha_sharded(ds)
         ths = tuple(self.cfg.task_params.get("th", [3, 5, 7]))
-        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "MHA", "th": [float(t) for t in ths]})
         hits = []
         for i, batch in enumerate(_iter(ds)):
             rec = log.get(i)
             if rec is None:
-                img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = \
-                    self._pair_maps(batch)
-                wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
-                a0, _, va = self._warp(k0, v0, wp01)
-                b0, _, vb = self._warp(k1, v1, wp10)
-                # brute-force on covisible sets (MHA.py:33-39); fixed-K rows,
-                # validity = covisible
-                m0, m1, ok = self._match(k0, va, k1, vb, d0, d1,
-                                         img0.shape[1], img0.shape[0])
-                out = mha_pair(m0, m1, ok,
-                               jnp.asarray(wp01["homography_matrix"]),
-                               wp01["width"], wp01["height"],
-                               img0.shape[0], img0.shape[1], self.next_key(),
-                               thresholds=ths)
-                rec = log.put(i, {f"h{t}": out[k]
-                                  for k, t in enumerate(ths)})
+                rec = log.put(i, self._mha_pair_record(batch, ths))
             hits.append(rec)
         log.close()
-        hits = [np.array([float(r[f"h{t}"]) for t in ths]) for r in hits]
+        hits = [np.array([float(r[f"h{t:g}"]) for t in ths]) for r in hits]
         result_arr = np.mean(np.stack(hits), axis=0)
-        result = {f"MHA@{t}": float(v) for t, v in zip(ths, result_arr)}
+        result = {f"MHA@{t:g}": float(v) for t, v in zip(ths, result_arr)}
         for t, v in zip(ths, result_arr):
             print("MHA ", v)
         result["per_pair"] = [list(map(float, h)) for h in hits]
         return result
 
+    def _auc_pair_record(self, batch):
+        """Per-pair AUC record (device scalars; shared by the per-pair loop
+        and the sharded path's ragged tail)."""
+        img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+        wp01 = batch["warp01_params"]
+        m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
+                                 img0.shape[1], img0.shape[0])
+        h0, w0 = img0.shape[0], img0.shape[1]
+        h1, w1 = img1.shape[0], img1.shape[1]
+        p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
+        p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
+        R, t, pm, n_in, okp = estimate_pose_pair(
+            p0, p1, ok, jnp.asarray(wp01["intrinsics0"]),
+            jnp.asarray(wp01["intrinsics1"]), self.next_key(),
+            solver=self.cfg.task_params.get("solver", "8pt"))
+        # failure -> 180 deg / 0 inliers decided on device (no per-pair
+        # host sync)
+        err = jnp.where(okp, pose_error(
+            R, t, jnp.asarray(wp01["pose01"])), 180.0)
+        return {"error": err, "inliers": jnp.where(okp, n_in, 0)}
+
     def _run_auc_sharded(self, ds):
         """Mesh-sharded batched AUC (see _run_repeatability_sharded): pairs
         stacked batch_size at a time over the 'data' axis; the tail that
         doesn't fill a batch falls back to the per-pair path so the error
-        list (and hence the AUC recall curve) covers every pair."""
-        import jax as _jax
-        from keypoint_bench_tpu.parallel.mesh import make_mesh
+        list (and hence the AUC recall curve) covers every pair. Per-pair
+        records are journaled so cfg.resume works like the per-pair path."""
         from keypoint_bench_tpu.parallel.evaluate import sharded_auc_step
 
         ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
+        solver = self.cfg.task_params.get("solver", "8pt")
         b = int(self.cfg.data_params.get("batch_size", 1))
-        n_dev = len(_jax.devices())
-        n_data = max(d for d in range(1, n_dev + 1) if b % d == 0)
-        mesh = make_mesh(n_data=n_data, n_model=1,
-                         devices=_jax.devices()[:n_data])
+        mesh, n_data = self._sharded_mesh(b)
         step = sharded_auc_step(mesh, self.model_fn, self.params,
-                                self.detect_params,
-                                solver=self.cfg.task_params.get("solver",
-                                                                "8pt"))
-        errors, inliers = [], []
-        buf = []
+                                self.detect_params, solver=solver,
+                                bf_max_distance=self.bf_max_distance)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "AUC", "solver": solver})
+        recs: dict[int, dict] = {}
+        buf: list[tuple[int, dict]] = []
 
-        def flush_batch(buf):
+        def flush(buf):
+            samples = [s for _, s in buf]
             imgs0 = jnp.stack([_crop32(np.asarray(s["image0"], np.float32))
-                               for s in buf])
+                               for s in samples])
             imgs1 = jnp.stack([_crop32(np.asarray(s["image1"], np.float32))
-                               for s in buf])
+                               for s in samples])
             K0s = jnp.stack([jnp.asarray(s["warp01_params"]["intrinsics0"])
-                             for s in buf])
+                             for s in samples])
             K1s = jnp.stack([jnp.asarray(s["warp01_params"]["intrinsics1"])
-                             for s in buf])
+                             for s in samples])
             poses = jnp.stack([jnp.asarray(s["warp01_params"]["pose01"])
-                               for s in buf])
-            keys = jax.random.split(self.next_key(), len(buf))
+                               for s in samples])
+            keys = jax.random.split(self.next_key(), b)
             with mesh:
                 errs, n_in = step(imgs0, imgs1, K0s, K1s, poses, keys)
-            errors.extend(np.asarray(errs).tolist())
-            inliers.extend(np.asarray(n_in).tolist())
+            errs = np.asarray(errs)
+            n_in = np.asarray(n_in)
+            for j, (i, _) in enumerate(buf):
+                recs[i] = log.put(i, {"error": float(errs[j]),
+                                      "inliers": int(n_in[j])})
 
-        for batch in _iter(ds):
-            buf.append(batch)
+        for i, batch in enumerate(_iter(ds)):
+            rec = log.get(i)
+            if rec is not None:
+                recs[i] = rec
+                continue
+            buf.append((i, batch))
             if len(buf) == b:
-                flush_batch(buf)
+                flush(buf)
                 buf = []
-        for batch in buf:  # tail: per-pair
-            img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
-                self._pair_maps(batch)
-            wp01 = batch["warp01_params"]
-            m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
-                                     img0.shape[1], img0.shape[0])
-            p0 = m0[:, 0:2] * jnp.asarray([img0.shape[1] - 1.0,
-                                           img0.shape[0] - 1.0])
-            p1 = m1[:, 0:2] * jnp.asarray([img1.shape[1] - 1.0,
-                                           img1.shape[0] - 1.0])
-            R, t, pm, n_in, okp = estimate_pose_pair(
-                p0, p1, ok, jnp.asarray(wp01["intrinsics0"]),
-                jnp.asarray(wp01["intrinsics1"]), self.next_key(),
-                solver=self.cfg.task_params.get("solver", "8pt"))
-            if bool(okp):
-                errors.append(float(pose_error(
-                    R, t, jnp.asarray(wp01["pose01"]))))
-                inliers.append(int(n_in))
-            else:
-                errors.append(180.0)
-                inliers.append(0)
+        for i, batch in buf:  # ragged tail: per-pair
+            recs[i] = log.put(i, self._auc_pair_record(batch))
+        log.close()
+        order = sorted(recs)
+        errors = [float(recs[i]["error"]) for i in order]
+        inliers = [float(recs[i]["inliers"]) for i in order]
         aucs = pose_auc(errors, ths)
         result = {f"AUC@{t}": float(a) for t, a in zip(ths, aucs)}
         result["AUC_inliers"] = float(np.mean(inliers)) if inliers else 0.0
@@ -523,34 +607,21 @@ class Evaluator:
         return result
 
     def _run_auc(self, ds):
-        if int(self.cfg.data_params.get("batch_size", 1)) > 1:
+        if int(self.cfg.data_params.get("batch_size", 1)) > 1 and \
+                self.matcher_type == "brute_force":
+            # the sharded pipeline implements brute-force matching only;
+            # other matchers fall through to the per-pair loop
             return self._run_auc_sharded(ds)
         ths = tuple(self.cfg.task_params.get("th", [5, 10, 20]))
-        log = MetricLog(self.cfg.output_dir, self.cfg.resume)
+        log = MetricLog(self.cfg.output_dir, self.cfg.resume,
+                        meta={"task": "AUC",
+                              "solver": self.cfg.task_params.get("solver",
+                                                                 "8pt")})
         errors, inliers = [], []
         for i, batch in enumerate(_iter(ds)):
             rec = log.get(i)
             if rec is None:
-                img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
-                    self._pair_maps(batch)
-                wp01 = batch["warp01_params"]
-                m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
-                                         img0.shape[1], img0.shape[0])
-                h0, w0 = img0.shape[0], img0.shape[1]
-                h1, w1 = img1.shape[0], img1.shape[1]
-                p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
-                p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
-                K0 = jnp.asarray(wp01["intrinsics0"])
-                K1 = jnp.asarray(wp01["intrinsics1"])
-                R, t, pm, n_in, okp = estimate_pose_pair(
-                    p0, p1, ok, K0, K1, self.next_key(),
-                    solver=self.cfg.task_params.get("solver", "8pt"))
-                # failure -> 180 deg / 0 inliers decided on device (no
-                # per-pair host sync)
-                err = jnp.where(okp, pose_error(
-                    R, t, jnp.asarray(wp01["pose01"])), 180.0)
-                rec = log.put(i, {"error": err,
-                                  "inliers": jnp.where(okp, n_in, 0)})
+                rec = log.put(i, self._auc_pair_record(batch))
             errors.append(rec["error"])
             inliers.append(rec["inliers"])
         log.close()

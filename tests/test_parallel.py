@@ -48,9 +48,9 @@ def test_sharded_eval_matches_single_device():
         out1 = step1(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys)
 
     for k in out8:
-        np.testing.assert_allclose(float(out8[k]), float(out1[k]),
-                                   rtol=1e-4, err_msg=k)
-    assert float(out8["repeatability"]) > 0.1
+        np.testing.assert_allclose(np.asarray(out8[k]), np.asarray(out1[k]),
+                                   rtol=1e-4, err_msg=k, equal_nan=True)
+    assert float(np.mean(np.asarray(out8["repeatability"]))) > 0.1
 
 
 def test_dryrun_multichip_entry():

@@ -33,7 +33,8 @@ def test_sharded_mha_matches_runner():
                           for s in samples])
     keys = jax.random.split(jax.random.key(0), n)
     with mesh:
-        hits = np.asarray(step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys))
+        hits = np.asarray(step(imgs0, imgs1, Hs, Hinvs, sizes, scales,
+                               keys)).mean(axis=0)
 
     cfg = EvalConfig(
         model_type="Alike", task_type="MHA",
