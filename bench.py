@@ -4,12 +4,24 @@ Runs the flagship pipeline (ALIKE-t forward x2, fixpoint-NMS detection
 top_k=1000, brute-force mutual-NN matching — the reference default-config
 protocol at 512x512) as one jitted batched program and reports frames/s.
 
+Default pipeline is the sparse-descriptor path (ops/sparse_desc.py): the
+dense full-res descriptor map is never materialized; keypoint descriptors
+come from exact composite sampling of the raw branch features (parity test:
+tests/test_sparse_desc.py). KBT_BENCH_SPARSE=0 restores the dense path.
+
+Inputs are procedurally textured images (datasets/synthetic._texture), not
+uniform noise — NMS fixpoint iteration count is data-dependent, so the bench
+must see structured score maps.
+
 vs_baseline compares against the PyTorch reference implementation measured on
 this host (baselines/torch_cpu.json — no CUDA GPU is available here, so the
 baseline hardware is the host CPU; the reference publishes no latency numbers,
-SURVEY.md §6).
+SURVEY.md §6). sol_pct anchors the number to hardware: XLA cost-analysis
+bytes-accessed per second over the v5e HBM peak (~819 GB/s) — an upper bound
+on achieved-bandwidth utilization since cost analysis counts pre-fusion
+operand bytes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sol_pct"}.
 """
 import json
 import os
@@ -17,6 +29,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_V5E_HBM_BYTES_PER_S = 819e9
 
 
 def main():
@@ -39,34 +53,81 @@ def main():
     if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
         params = cast_params_bf16(params)  # bf16 MXU path, f32 accumulate
     dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)
+    size = int(os.environ.get("KBT_BENCH_SIZE", "512"))
 
-    def pair_step(img0, img1):
-        s0, d0 = model_fn(params, img0[None])
-        s1, d1 = model_fn(params, img1[None])
-        k0, v0 = detection(s0[0], dp)
-        k1, v1 = detection(s1[0], dp)
-        m0, m1, ok = brute_force_match(k0, v0, k1, v1, d0[0], d1[0], 5.0)
-        return jnp.sum(ok), k0, m1
+    sparse = (os.environ.get("KBT_BENCH_SPARSE", "1") == "1"
+              and model_name == "Alike_s2d")
+    if sparse:
+        from keypoint_bench_tpu.models.alike_s2d import alike_s2d_feats
+        from keypoint_bench_tpu.ops.detect import detection_batch
+        from keypoint_bench_tpu.ops.matching import mutual_nn_match
+        from keypoint_bench_tpu.ops.sparse_desc import \
+            alike_sparse_descriptors
+
+        # batch-level step (not a vmapped pair step): detection_batch keeps
+        # the rare exact-top-k fallback behind ONE batch-level predicate —
+        # under vmap, lax.cond would execute both branches on every map
+        def batch_step(imgs0, imgs1):
+            s0, f0 = jax.vmap(
+                lambda im: alike_s2d_feats(params, im[None]))(imgs0)
+            s1, f1 = jax.vmap(
+                lambda im: alike_s2d_feats(params, im[None]))(imgs1)
+            k0, v0 = detection_batch(s0[:, 0, :, :, 0], dp)
+            k1, v1 = detection_batch(s1[:, 0, :, :, 0], dp)
+            sample = jax.vmap(
+                lambda f1_, f2_, f3_, f4_, k: alike_sparse_descriptors(
+                    params, (f1_, f2_, f3_, f4_), k, size, size))
+            d0 = sample(*[x[:, 0] for x in f0], k0)
+            d1 = sample(*[x[:, 0] for x in f1], k1)
+            nn01, ok = jax.vmap(
+                lambda a, b, va, vb: mutual_nn_match(a, b, va, vb, 5.0))(
+                d0, d1, v0, v1)
+            m1 = jnp.take_along_axis(k1, nn01[..., None], axis=1)
+            return jnp.sum(ok), k0, m1
+
+        step = jax.jit(batch_step)
+    else:
+        def pair_step(img0, img1):
+            s0, d0 = model_fn(params, img0[None])
+            s1, d1 = model_fn(params, img1[None])
+            k0, v0 = detection(s0[0], dp)
+            k1, v1 = detection(s1[0], dp)
+            m0, m1, ok = brute_force_match(k0, v0, k1, v1, d0[0], d1[0], 5.0)
+            return jnp.sum(ok), k0, m1
+
+        step = jax.jit(jax.vmap(pair_step))
 
     # sweet spot: 4 for the reference layout (HBM working set); the fast
-    # layout keeps scaling (8: 474, 16: 509, 32: 549, 64: 591, 96: 619,
-    # 128: 576 fps measured)
+    # layout keeps scaling with batch (PERF.md batch sweeps)
     default_batch = "96" if model_name == "Alike_s2d" else "4"
     batch = int(os.environ.get("KBT_BENCH_BATCH", default_batch))
-    step = jax.jit(jax.vmap(pair_step))
 
+    # procedurally textured inputs (structured score maps -> realistic NMS
+    # fixpoint iteration counts; uniform noise is NOT representative)
+    from keypoint_bench_tpu.datasets.synthetic import _texture
     rng = np.random.default_rng(0)
-    imgs0 = jnp.asarray(rng.random((batch, 512, 512, 3), np.float32))
-    imgs1 = jnp.asarray(rng.random((batch, 512, 512, 3), np.float32))
+    imgs0 = jnp.asarray(np.stack([_texture(size, size, rng)
+                                  for _ in range(batch)]))
+    imgs1 = jnp.asarray(np.stack([_texture(size, size, rng)
+                                  for _ in range(batch)]))
 
-    # compile + warmup
-    jax.block_until_ready(step(imgs0, imgs1))
-    jax.block_until_ready(step(imgs0, imgs1))
+    lowered = step.lower(imgs0, imgs1)
+    compiled = lowered.compile()
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, list) else cost
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        bytes_accessed = 0.0
+
+    # warmup
+    jax.block_until_ready(compiled(imgs0, imgs1))
+    jax.block_until_ready(compiled(imgs0, imgs1))
 
     iters = int(os.environ.get("KBT_BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(imgs0, imgs1)
+        out = compiled(imgs0, imgs1)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     fps = 2.0 * batch / dt
@@ -78,11 +139,14 @@ def main():
         with open(bpath) as f:
             baseline_fps = json.load(f)["frames_per_second"]
 
+    sol = (bytes_accessed / dt) / _V5E_HBM_BYTES_PER_S \
+        if bytes_accessed else None
     print(json.dumps({
         "metric": "alike_t_extract_match_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "sol_pct": round(100.0 * sol, 1) if sol is not None else None,
     }))
 
 

@@ -129,22 +129,9 @@ def _bn_s2d(x, p, bn):
                      p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
 
 
-@register("Alike_s2d")
-def alike_s2d(params: dict, image: jnp.ndarray):
-    """image [B,H,W,3] (H, W multiples of 4) -> (score, desc); identical to
-    models.alike.alike up to float summation order. params must have gone
-    through transform_params_s2d.
-
-    Beyond the s2d stem, two more measured TPU rewrites (tools/profile_r2c.py):
-    * the first block conv runs as a stride-4 conv on the raw image (kernel
-      _stem_w8), folding the s2d transpose away entirely;
-    * the aggregation head is decomposed per branch BEFORE upsampling
-      (1x1 head o upsample == upsample o 1x1 head, both linear): the 64-lane
-      channel concat at full res cost ~7.4 ms on v5e (misaligned 16-lane
-      pieces force relayouts), while per-branch low-res heads + fused adds
-      avoid it, and the desc/score split happens in the weights so no
-      channel slicing remains at full res.
-    """
+def _branches(params: dict, image: jnp.ndarray):
+    """Shared trunk: stem (s2d layout) + blocks + per-branch aggregation
+    features. Returns (a1 full-res, a2 @H/2, a3 @H/8, a4 @H/32, hp, cast)."""
     p = params
     b = _B
     cast = (lambda w: w.astype(jnp.bfloat16)) if \
@@ -189,6 +176,45 @@ def alike_s2d(params: dict, image: jnp.ndarray):
     a2 = c.relu(c.conv2d(x2, p["conv2.weight"], p.get("conv2.bias"), 1, 0))
     a3 = c.relu(c.conv2d(x3, p["conv3.weight"], p.get("conv3.bias"), 1, 0))
     a4 = c.relu(c.conv2d(x4, p["conv4.weight"], p.get("conv4.bias"), 1, 0))
+    return a1, a2, a3, a4, hp, cast
+
+
+def _combined_up(maps, H, W, hp):
+    """upsample-and-sum as ONE row-interp matmul: bilinear upsampling is
+    separable, so column-upsample each branch at its own (low) row count,
+    concatenate along rows (major dim — cheap), and a single combined
+    [H, h2+h3+h4] interp matrix computes up2 + up8 + up32 in one MXU dot
+    instead of three full-res tensors plus a 4-way add."""
+    dt = maps[0].dtype
+    cols = [jnp.einsum("ow,bhwc->bhoc",
+                       jnp.asarray(c._interp_matrix(W, m.shape[2]), dt),
+                       m, precision=hp)
+            for m in maps]
+    rows_in = jnp.concatenate(cols, axis=1)           # [B, h2+h3+h4, W, C]
+    A = np.concatenate([c._interp_matrix(H, m.shape[1])
+                        for m in maps], axis=1)
+    return jnp.einsum("oh,bhwc->bowc", jnp.asarray(A, dt), rows_in,
+                      precision=hp)
+
+
+@register("Alike_s2d")
+def alike_s2d(params: dict, image: jnp.ndarray):
+    """image [B,H,W,3] (H, W multiples of 4) -> (score, desc); identical to
+    models.alike.alike up to float summation order. params must have gone
+    through transform_params_s2d.
+
+    Beyond the s2d stem, two more measured TPU rewrites (tools/profile_r2c.py):
+    * the first block conv runs as a stride-4 conv on the raw image (kernel
+      _stem_w8), folding the s2d transpose away entirely;
+    * the aggregation head is decomposed per branch BEFORE upsampling
+      (1x1 head o upsample == upsample o 1x1 head, both linear): the 64-lane
+      channel concat at full res cost ~7.4 ms on v5e (misaligned 16-lane
+      pieces force relayouts), while per-branch low-res heads + fused adds
+      avoid it, and the desc/score split happens in the weights so no
+      channel slicing remains at full res.
+    """
+    p = params
+    a1, a2, a3, a4, hp, cast = _branches(p, image)
 
     # decomposed head: head(concat(a_i)) == sum_i a_i @ Wh[16i:16(i+1)], and
     # the 1x1 head commutes with bilinear upsampling, so each low-res branch
@@ -208,28 +234,40 @@ def alike_s2d(params: dict, image: jnp.ndarray):
     d3, s3 = proj(a3, 2)
     d4, s4 = proj(a4, 3)
 
-    # upsample-and-sum as ONE row-interp matmul: bilinear upsampling is
-    # separable, so column-upsample each branch at its own (low) row count,
-    # concatenate along rows (major dim — cheap), and a single combined
-    # [H, h2+h3+h4] interp matrix computes up2 + up8 + up32 in one MXU dot
-    # instead of three full-res tensors plus a 4-way add
     H, W = a1.shape[1], a1.shape[2]
-
-    def combined_up(p2, p3, p4):
-        dt = p2.dtype
-        cols = [jnp.einsum("ow,bhwc->bhoc",
-                           jnp.asarray(c._interp_matrix(W, p.shape[2]), dt),
-                           p, precision=hp)
-                for p in (p2, p3, p4)]
-        rows_in = jnp.concatenate(cols, axis=1)       # [B, h2+h3+h4, W, C]
-        A = np.concatenate([c._interp_matrix(H, p.shape[1])
-                            for p in (p2, p3, p4)], axis=1)
-        return jnp.einsum("oh,bhwc->bowc", jnp.asarray(A, dt), rows_in,
-                          precision=hp)
-
-    desc = d1 + combined_up(d2, d3, d4)
-    score = s1 + combined_up(s2, s3, s4)
+    desc = d1 + _combined_up((d2, d3, d4), H, W, hp)
+    score = s1 + _combined_up((s2, s3, s4), H, W, hp)
     if bh is not None:
         desc = desc + bh[:-1]
         score = score + bh[-1]
     return jax.nn.sigmoid(score.astype(jnp.float32)).astype(desc.dtype), desc
+
+
+def alike_s2d_feats(params: dict, image: jnp.ndarray):
+    """Sparse-descriptor forward: the full score map plus the RAW branch
+    features — no dense descriptor map is ever materialized (its ~32 MB/img
+    of HBM traffic is the dominant pipeline cost, PERF.md). Descriptors for
+    detected keypoints come from ops/sparse_desc.alike_sparse_descriptors,
+    exactly equal to sampling the dense map (sampling, upsampling and the
+    1x1 head are all linear and commute).
+
+    Returns (score [B,H,W,1], (a1 [B,H,W,16], a2 [B,H/2,W/2,16],
+    a3 [B,H/8,W/8,16], a4 [B,H/32,W/32,16])).
+    """
+    p = params
+    a1, a2, a3, a4, hp, cast = _branches(p, image)
+    wh = cast(p["convhead2.weight"])[0, 0]
+    bh = p.get("convhead2.bias")
+    per = a1.shape[-1]
+
+    def proj_s(a, i):
+        return jnp.einsum("bhwc,c->bhw", a, wh[i * per:(i + 1) * per, -1],
+                          precision=hp)[..., None]
+
+    H, W = a1.shape[1], a1.shape[2]
+    score = proj_s(a1, 0) + _combined_up(
+        (proj_s(a2, 1), proj_s(a3, 2), proj_s(a4, 3)), H, W, hp)
+    if bh is not None:
+        score = score + bh[-1]
+    score = jax.nn.sigmoid(score.astype(jnp.float32)).astype(a1.dtype)
+    return score, (a1, a2, a3, a4)

@@ -27,15 +27,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
-# NMS implementation selector. "xla" (default): the reduce_window
-# formulation — under vmap it vectorizes across maps, which on real batched
-# workloads beats the Pallas kernel's sequential per-map grid (measured on
-# v5e: pair_step 378.6 vs 359.3 frames/s at batch 4). "pallas": the
-# VMEM-resident fixpoint kernel (ops/pallas_nms.py) — ~4x faster per single
-# map (0.4 vs 1.6 ms), the right choice for latency-critical single-image
-# paths. "auto" currently resolves to xla.
+# NMS implementation selector. "pallas": the VMEM-resident fixpoint kernel
+# (ops/pallas_nms.py) — 89 us/map at 512^2 on v5e when the batch amortizes
+# the dispatch (vmap turns the kernel into a grid over maps), 4x faster
+# than the XLA formulation (356 us/map bf16). "xla": the reduce_window
+# formulation — the only choice off-TPU or for maps too big for VMEM.
+# "auto" resolves to pallas on TPU for supported shapes, else xla.
+# (Round-1 measured XLA ahead at batch 4; that was the ~3 ms dispatch floor
+# masking the kernel cost, not a property of the kernel.)
 _NMS_IMPL = ["auto"]
-_AUTO_IMPL = "xla"
+_AUTO_IMPL = "pallas"
 
 
 def set_nms_impl(impl: str):
@@ -86,19 +87,31 @@ def _local_max_mask(probs: jnp.ndarray, d: int) -> jnp.ndarray:
     A pixel p is a local max iff its value is strictly greater than every
     window value at a row-major position *before* the center and >= every
     value after (zero padding contributes value 0, as F.unfold does).
+
+    3 reduce_window passes total: the full-width column max `colmax` is
+    shared by the rows-before and rows-after parts (one (d,1) max over it
+    serves both via shifted slices), and one (1,d) max over the padded map
+    serves both same-row parts.
     """
     h, w = probs.shape
+    neg = -jnp.inf
     padded = jnp.pad(probs, d, constant_values=0.0)
-    # offsets before center (row-major): rows [-d..-1] all cols; row 0 cols [-d..-1]
-    m_before = jnp.maximum(
-        _window_max(padded, h, w, d, -d, -1, -d, d),
-        _window_max(padded, h, w, d, 0, 0, -d, -1),
-    )
-    # offsets after center: row 0 cols [1..d]; rows [1..d] all cols
-    m_after = jnp.maximum(
-        _window_max(padded, h, w, d, 0, 0, 1, d),
-        _window_max(padded, h, w, d, 1, d, -d, d),
-    )
+    # full-width [-d..d] column max per padded row
+    colmax = lax.reduce_window(padded, neg, lax.max, (1, 2 * d + 1), (1, 1),
+                               "VALID")                     # [h+2d, w]
+    # d-row running max over colmax: row r of the output covers padded rows
+    # r..r+d-1; slicing at 0 gives window rows [-d..-1], at d+1 rows [1..d]
+    rowswin = lax.reduce_window(colmax, neg, lax.max, (d, 1), (1, 1),
+                                "VALID")                    # [h+d+1, w]
+    before_rows = lax.slice(rowswin, (0, 0), (h, w))
+    after_rows = lax.slice(rowswin, (d + 1, 0), (d + 1 + h, w))
+    # d-col running max per padded row: col c covers padded cols c..c+d-1
+    colwin = lax.reduce_window(padded, neg, lax.max, (1, d), (1, 1),
+                               "VALID")                     # [h+2d, w+d+1]
+    before_cols = lax.slice(colwin, (d, 0), (d + h, w))
+    after_cols = lax.slice(colwin, (d, d + 1), (d + h, d + 1 + w))
+    m_before = jnp.maximum(before_rows, before_cols)
+    m_after = jnp.maximum(after_rows, after_cols)
     return (probs > m_before) & (probs >= m_after)
 
 
@@ -147,6 +160,160 @@ def fast_nms(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
     return state[0]
 
 
+def _topk_stable_sort(flat: jnp.ndarray, k: int):
+    """Top-k by full stable sort: deterministic (value desc, index asc)
+    order on every backend. lax.top_k's tie order is backend-defined — on
+    TPU it is NOT lowest-index-first, which matters a lot for bf16 score
+    maps where sigmoid outputs collapse into few distinct values."""
+    iota = lax.iota(jnp.int32, flat.shape[0])
+    neg, idx = lax.sort((-flat, iota), num_keys=1, is_stable=True)
+    return -neg[:k], idx[:k]
+
+
+def _topk_candidates(flat: jnp.ndarray, k: int, chunk: int = 128,
+                     per_chunk: int = 8):
+    """Per-chunk max-extraction top-k candidates: returns (values [k],
+    indices [k], unsafe scalar). `unsafe` is True iff the result might not
+    be the exact (value desc, index asc) top-k — the caller must then fall
+    back to _topk_stable_sort. See topk_select for the full story."""
+    n = flat.shape[0]
+    nc = n // chunk
+    x = flat.reshape(nc, chunk)
+    col = lax.broadcasted_iota(jnp.int32, (nc, chunk), 1)
+    base = (jnp.arange(nc, dtype=jnp.int32) * chunk)[:, None]
+    cand_v, cand_i = [], []
+    cur = x
+    for _ in range(per_chunk):
+        am = jnp.argmax(cur, axis=1).astype(jnp.int32)       # lowest-index tie
+        m = jnp.max(cur, axis=1)
+        cand_v.append(m)
+        cand_i.append(am)
+        cur = jnp.where(col == am[:, None], -jnp.inf, cur)
+    vals = jnp.stack(cand_v, axis=1)                          # [nc, pc]
+    idxs = jnp.stack(cand_i, axis=1) + base                   # global indices
+    pos0 = lax.iota(jnp.int32, nc * per_chunk)
+    negv, pos = lax.sort((-vals.reshape(-1), pos0), num_keys=1,
+                         is_stable=True)
+    v2 = -negv[:k]
+    i2 = idxs.reshape(-1)[pos[:k]]
+    cutoff = v2[k - 1]
+    # a block whose last (smallest) extracted value still >= cutoff may have
+    # had further values >= cutoff (or cutoff ties with lower indices)
+    unsafe = jnp.any(vals[:, per_chunk - 1] >= cutoff)
+    return v2, i2, unsafe
+
+
+def _topk_extractable(n: int, k: int, chunk: int = 128,
+                      per_chunk: int = 8) -> bool:
+    return n % chunk == 0 and k <= (n // chunk) * per_chunk and n > 4 * chunk
+
+
+def topk_select(flat: jnp.ndarray, k: int, chunk: int = 128,
+                per_chunk: int = 8):
+    """Exact top-k via per-chunk max-extraction instead of a full sort,
+    with DETERMINISTIC (value desc, index asc) tie order on all backends.
+
+    XLA's lax.top_k sorts the whole array (~210 us for 262k values on v5e);
+    the top-k of an NMS'd score map is highly spread out, so extracting the
+    top `per_chunk` of every `chunk`-sized block (argmax + mask, per_chunk
+    rounds — pure VPU passes) and stably merging the nc*per_chunk
+    candidates is ~4x cheaper. EXACTNESS IS UNCONDITIONAL: if any block's
+    last extracted value still reaches the merged cutoff (meaning the block
+    could have held further top-k members or cutoff ties), the result falls
+    back to a full stable sort via lax.cond.
+
+    Tie-breaking: argmax picks the lowest index in a block, extraction
+    order keeps equal values index-ordered, blocks enter the merge in index
+    order, and the merge sort is stable — so equal values select lowest
+    global indices first, matching lax.top_k on CPU (and the golden
+    fixtures) but NOT lax.top_k on TPU, whose tie order is unspecified.
+
+    NOTE: under vmap, lax.cond runs BOTH branches — batched callers should
+    use detection_batch, which hoists a single any-map-unsafe predicate out
+    of the vmap so the fallback sort only ever runs when needed.
+    """
+    if not _topk_extractable(flat.shape[0], k, chunk, per_chunk):
+        return _topk_stable_sort(flat, k)
+    v2, i2, unsafe = _topk_candidates(flat, k, chunk, per_chunk)
+    return lax.cond(unsafe, lambda f: _topk_stable_sort(f, k),
+                    lambda f: (v2, i2), flat)
+
+
+def _local_max_mask_hwb(p: jnp.ndarray, d: int) -> jnp.ndarray:
+    """_local_max_mask for a [H, W, B] stack (batch on the minor/lane axis:
+    both window axes are lane-free, so the reduce_windows cost no cross-lane
+    permutes and every lane carries a different map)."""
+    h, w, b = p.shape
+    neg = -jnp.inf
+    padded = jnp.pad(p, ((d, d), (d, d), (0, 0)), constant_values=0.0)
+    colmax = lax.reduce_window(padded, neg, lax.max, (1, 2 * d + 1, 1),
+                               (1, 1, 1), "VALID")
+    rowswin = lax.reduce_window(colmax, neg, lax.max, (d, 1, 1), (1, 1, 1),
+                                "VALID")
+    before_rows = lax.slice(rowswin, (0, 0, 0), (h, w, b))
+    after_rows = lax.slice(rowswin, (d + 1, 0, 0), (d + 1 + h, w, b))
+    colwin = lax.reduce_window(padded, neg, lax.max, (1, d, 1), (1, 1, 1),
+                               "VALID")
+    before_cols = lax.slice(colwin, (d, 0, 0), (d + h, w, b))
+    after_cols = lax.slice(colwin, (d, d + 1, 0), (d + h, d + 1 + w, b))
+    m_before = jnp.maximum(before_rows, before_cols)
+    m_after = jnp.maximum(after_rows, after_cols)
+    return (p > m_before) & (p >= m_after)
+
+
+def fast_nms_batched(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
+                     min_value: float = 0.0) -> jnp.ndarray:
+    """`fast_nms` over a [B, H, W] stack in one fixpoint loop.
+
+    Identical per-map results to vmap(fast_nms) — per-map convergence is
+    tracked and converged maps freeze (exactly like vmap's while_loop
+    batching rule) — with the maps transposed to [H, W, B] so the batch
+    occupies the minor (lane) axis and window reductions are lane-free.
+    NOTE: measured SLOWER than the vmap layout at 512^2/batch 192 on v5e
+    (the transposes + non-128-multiple lane padding eat the win); kept for
+    parity coverage and for shapes where the layout pays off.
+    """
+    if nms_dist == 0:
+        return probs
+    d = nms_dist
+    p = jnp.transpose(probs, (1, 2, 0))    # [H, W, B]
+    h, w, b = p.shape
+
+    def count_and_mask(p):
+        mask = _local_max_mask_hwb(p, d)
+        return mask, jnp.sum(mask.astype(jnp.int32), axis=(0, 1))
+
+    def cond(state):
+        _, _, count, prev_count, i = state
+        return jnp.any(count != prev_count) & (i < max_iter)
+
+    def body(state):
+        p, mask, count, prev, i = state
+        active = count != prev              # [B]
+        maskf = mask.astype(p.dtype)
+        padded = jnp.pad(maskf, ((d, d), (d, d), (0, 0)),
+                         constant_values=0.0)
+        s = lax.reduce_window(padded, 0.0, lax.add, (2 * d + 1, 1, 1),
+                              (1, 1, 1), "VALID")
+        s = lax.reduce_window(s, 0.0, lax.add, (1, 2 * d + 1, 1), (1, 1, 1),
+                              "VALID")
+        others = s - maskf
+        supp = (others > 0.0) & active[None, None, :]
+        p2 = jnp.where(supp, jnp.asarray(min_value, p.dtype), p)
+        new_mask, new_count = count_and_mask(p2)
+        # frozen (converged) maps keep their state verbatim
+        p2 = jnp.where(active[None, None, :], p2, p)
+        new_mask = jnp.where(active[None, None, :], new_mask, mask)
+        new_count = jnp.where(active, new_count, count)
+        new_prev = jnp.where(active, count, prev)
+        return p2, new_mask, new_count, new_prev, i + 1
+
+    mask0, count0 = count_and_mask(p)
+    state = (p, mask0, count0, jnp.full((b,), -1, jnp.int32), jnp.int32(0))
+    state = lax.while_loop(cond, body, state)
+    return jnp.transpose(state[0], (2, 0, 1))
+
+
 def remove_border(probs: jnp.ndarray, border_dist: int) -> jnp.ndarray:
     """Zero a `border_dist`-wide band (reference utils/extracter.py:164-190)."""
     if border_dist <= 0:
@@ -176,16 +343,31 @@ def detection(score_map: jnp.ndarray, params: DetectParams = DetectParams()):
     impl = _NMS_IMPL[0]
     if impl == "auto":
         impl = _AUTO_IMPL
+    nms = _nms_one(score_map, params)
+    return _post_nms(nms, params)
+
+
+def _nms_one(score_map: jnp.ndarray, params: DetectParams):
+    """NMS on one (H, W) map with the selected implementation."""
+    from keypoint_bench_tpu.ops import pallas_nms
+    h, w = score_map.shape
+    impl = _NMS_IMPL[0]
+    if impl == "auto":
+        impl = _AUTO_IMPL
     use_pallas = (impl == "pallas" and jax.default_backend() == "tpu"
                   and pallas_nms.supported(h, w))
     nms_fn = pallas_nms.fast_nms_pallas if use_pallas else fast_nms
-    nms = nms_fn(score_map.astype(jnp.float32), params.nms_dist,
-                 params.max_nms_iter)
-    nms = remove_border(nms, params.border_dist)
+    if use_pallas:
+        score_map = score_map.astype(jnp.float32)
+    # NOT cast to f32 otherwise: the fixpoint is exact in the map's own dtype
+    # (comparisons/maxes are order-preserving; the box sums count <= (2d+1)^2
+    # local maxima, and integers up to 256 are exact in bf16), and bf16 maps
+    # halve the NMS HBM traffic.
+    return nms_fn(score_map, params.nms_dist, params.max_nms_iter)
 
-    flat = nms.reshape(-1)
-    k = min(params.top_k, flat.shape[0])
-    scores, idx = lax.top_k(flat, k)
+
+def _kpts_from_topk(scores, idx, h: int, w: int, params: DetectParams):
+    scores = scores.astype(jnp.float32)
     rows = (idx // w).astype(jnp.float32)
     cols = (idx % w).astype(jnp.float32)
     x = (cols + 0.5) / w
@@ -197,6 +379,38 @@ def detection(score_map: jnp.ndarray, params: DetectParams = DetectParams()):
     return kpts, valid
 
 
-def detection_batch(score_maps: jnp.ndarray, params: DetectParams = DetectParams()):
-    """vmap of `detection` over a leading batch axis."""
-    return jax.vmap(lambda s: detection(s, params))(score_maps)
+def _post_nms(nms: jnp.ndarray, params: DetectParams):
+    """Border mask + top-k + (x, y, score) assembly on an NMS'd map."""
+    h, w = nms.shape
+    nms = remove_border(nms, params.border_dist)
+    flat = nms.reshape(-1)
+    k = min(params.top_k, flat.shape[0])
+    scores, idx = topk_select(flat, k)
+    return _kpts_from_topk(scores, idx, h, w, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def detection_batch(score_maps: jnp.ndarray,
+                    params: DetectParams = DetectParams()):
+    """`detection` over a [B, H, W] (or [B, H, W, 1]) stack — the batched
+    fast path for throughput pipelines (bench.py). Identical results to
+    vmap(detection); the difference is that the rare exact-top-k fallback
+    (see topk_select) is decided by ONE batch-level predicate outside the
+    vmap, so the full stable sort never executes unless some map needs it
+    (lax.cond under vmap runs both branches — ~2x detection cost)."""
+    if score_maps.ndim == 4:
+        score_maps = score_maps[..., 0]
+    b, h, w = score_maps.shape
+    nms = jax.vmap(lambda s: _nms_one(s, params))(score_maps)
+    nmsb = jax.vmap(lambda m: remove_border(m, params.border_dist))(nms)
+    flats = nmsb.reshape(b, h * w)
+    k = min(params.top_k, h * w)
+    if _topk_extractable(h * w, k):
+        v, i, unsafe = jax.vmap(lambda f: _topk_candidates(f, k))(flats)
+        v, i = lax.cond(
+            jnp.any(unsafe),
+            lambda fl: jax.vmap(lambda f: _topk_stable_sort(f, k))(fl),
+            lambda fl: (v, i), flats)
+    else:
+        v, i = jax.vmap(lambda f: _topk_stable_sort(f, k))(flats)
+    return jax.vmap(lambda s_, i_: _kpts_from_topk(s_, i_, h, w, params))(v, i)

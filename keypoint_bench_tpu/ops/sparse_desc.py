@@ -1,0 +1,189 @@
+"""Sparse (keypoint-only) descriptor evaluation for pyramid-head models.
+
+The reference protocol (utils/extracter.py:193-221 + utils/matcher.py:206-234)
+materializes a dense full-resolution descriptor map — d1 + up2(d2) + up8(d3)
++ up32(d4) @ 512^2 x 64 — and then bilinearly samples it at the K<=1000
+detected keypoints. On TPU that dense map is the single largest HBM cost of
+the whole pipeline (~32 MB bf16 written + re-read per image, PERF.md).
+
+This module computes the SAME sampled descriptors without the dense map:
+bilinear sampling, align-corners upsampling and the 1x1 head are all linear,
+so they commute —
+
+    sample(p, head(concat_i up_i(a_i))) == sum_i head_i(sample_up(p, a_i))
+
+`sample_up` (sampling an align-corners-upsampled map at a continuous
+full-res pixel coordinate) is evaluated EXACTLY by expanding the two
+interpolations: the sample interpolates the 4 integer-grid corners of the
+upsampled map, and each corner is itself a 2-tap interpolation of the
+low-res map (models/common.py:_interp_matrix semantics: src = y*(h_lo-1)/
+(h_hi-1), lo = clip(floor(src), 0, h_lo-2)). The composite footprint spans
+<= 3 consecutive low-res rows/cols, fetched as one [K, 4, 4, C] patch
+gather with weights combined per axis.
+
+Exactness: identical to sample_at_points(dense_map, kpts) up to float
+summation order (verified by tests/test_sparse_desc.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# Sampling implementation: "gather" = per-point 4x4 patch gathers (exact,
+# latency-bound on TPU); "mm" = one-hot interpolation-weight matrices x two
+# MXU matmuls (throughput-bound; exact in f32, weight-rounding ~2^-8 in bf16).
+# "auto": mm for bf16 features (bench fast path), gather for f32 (parity).
+_SAMPLE_IMPL = ["auto"]
+
+
+def set_sample_impl(impl: str):
+    assert impl in ("auto", "gather", "mm")
+    _SAMPLE_IMPL[0] = impl
+
+
+def _use_mm(dtype) -> bool:
+    impl = _SAMPLE_IMPL[0]
+    if impl == "auto":
+        return dtype == jnp.bfloat16
+    return impl == "mm"
+
+
+def _onehot4(idx, dtype):
+    return (idx[:, None] == jnp.arange(4)[None, :]).astype(dtype)
+
+
+def _axis_taps_up(p: jnp.ndarray, n_hi: int, n_lo: int):
+    """Composite interpolation taps along one axis.
+
+    p [K]: continuous full-res pixel coordinate in [0, n_hi-1).
+    Returns (base [K] int32, w [K, 4]) such that the sample of the
+    align-corners-upsampled axis at p equals sum_j w[:, j] * low[base + j].
+    """
+    y0f = jnp.floor(p)
+    dy = (p - y0f).astype(jnp.float32)
+    y0 = y0f.astype(jnp.int32)
+    s = (n_lo - 1.0) / (n_hi - 1.0)
+
+    def lo_frac(y):
+        src = y.astype(jnp.float32) * s
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_lo - 2)
+        return lo, src - lo
+
+    la, fa = lo_frac(y0)
+    lb, fb = lo_frac(jnp.minimum(y0 + 1, n_hi - 1))
+    base = jnp.clip(la, 0, n_lo - 4)
+    oa = la - base
+    ob = lb - base
+    w = ((1.0 - dy)[:, None]
+         * ((1.0 - fa)[:, None] * _onehot4(oa, jnp.float32)
+            + fa[:, None] * _onehot4(oa + 1, jnp.float32))
+         + dy[:, None]
+         * ((1.0 - fb)[:, None] * _onehot4(ob, jnp.float32)
+            + fb[:, None] * _onehot4(ob + 1, jnp.float32)))
+    return base, w
+
+
+def _axis_taps_direct(p: jnp.ndarray, n: int):
+    """Plain bilinear taps along one axis (full-res feature): base + [K,2]."""
+    y0f = jnp.floor(p)
+    dy = (p - y0f).astype(jnp.float32)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, n - 2)
+    w = jnp.stack([1.0 - dy, dy], axis=-1)
+    return y0, w
+
+
+def _patch_gather(feat: jnp.ndarray, rbase: jnp.ndarray, cbase: jnp.ndarray,
+                  size: int) -> jnp.ndarray:
+    """feat [h, w, C]; per-point [size, size, C] patches -> [K, s, s, C]."""
+    c = feat.shape[-1]
+    return jax.vmap(
+        lambda r, cb: lax.dynamic_slice(feat, (r, cb, 0), (size, size, c))
+    )(rbase, cbase)
+
+
+def _axis_weight_matrix(base: jnp.ndarray, w: jnp.ndarray, n: int, dtype):
+    """Scatter per-point tap weights into a dense [K, n] interpolation-weight
+    matrix (rows sum to 1): W[k, base[k] + j] = w[k, j]."""
+    taps = w.shape[1]
+    cols = base[:, None] + jnp.arange(taps)[None, :]          # [K, taps]
+    hit = (cols[:, :, None] == jnp.arange(n)[None, None, :])
+    return jnp.sum(jnp.where(hit, w[:, :, None], 0.0), axis=1).astype(dtype)
+
+
+def _apply_weight_mats(feat, rbase, wr, cbase, wc):
+    """Row/col interpolation-weight matrices applied as two MXU matmuls
+    (throughput path — no gathers). feat [h, w, C] -> [K, C]."""
+    h, w = feat.shape[0], feat.shape[1]
+    dt = feat.dtype
+    Wr = _axis_weight_matrix(rbase, wr, h, dt)                # [K, h]
+    Wc = _axis_weight_matrix(cbase, wc, w, dt)                # [K, w]
+    t = jnp.einsum("kh,hwc->kwc", Wr, feat,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("kw,kwc->kc", Wc, t.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
+def sample_direct(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """Bilinear sample of a full-res feature map at pixel coords -> [K, C].
+    Matches ops/grid_sample.sample_bilinear_pixels for in-bounds points."""
+    rbase, wr = _axis_taps_direct(py, feat.shape[0])
+    cbase, wc = _axis_taps_direct(px, feat.shape[1])
+    if _use_mm(feat.dtype):
+        return _apply_weight_mats(feat, rbase, wr, cbase, wc)
+    patch = _patch_gather(feat, rbase, cbase, 2).astype(jnp.float32)
+    return jnp.einsum("ka,kb,kabc->kc", wr, wc, patch)
+
+
+def sample_upsampled(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                     h_hi: int, w_hi: int):
+    """Sample `upsample_align_corners(feat, -> (h_hi, w_hi))` at continuous
+    full-res pixel coords (px, py) WITHOUT materializing the upsampled map.
+    feat [h_lo, w_lo, C] with h_lo, w_lo >= 4 -> [K, C] (f32)."""
+    h_lo, w_lo = feat.shape[0], feat.shape[1]
+    if h_lo < 4 or w_lo < 4:
+        # tiny maps (e.g. 64^2 test images): dense fallback, same math
+        from keypoint_bench_tpu.models.common import resize_bilinear_align
+        from keypoint_bench_tpu.ops.grid_sample import sample_bilinear_pixels
+        up = resize_bilinear_align(feat[None].astype(jnp.float32),
+                                   h_hi, w_hi)[0]
+        return sample_bilinear_pixels(up, px, py)
+    rbase, wr = _axis_taps_up(py, h_hi, h_lo)
+    cbase, wc = _axis_taps_up(px, w_hi, w_lo)
+    if _use_mm(feat.dtype):
+        return _apply_weight_mats(feat, rbase, wr, cbase, wc)
+    patch = _patch_gather(feat, rbase, cbase, 4).astype(jnp.float32)
+    return jnp.einsum("ka,kb,kabc->kc", wr, wc, patch)
+
+
+def alike_sparse_descriptors(params: dict, feats, kpts: jnp.ndarray,
+                             h: int, w: int) -> jnp.ndarray:
+    """Descriptors at keypoints for the ALIKE aggregation head, from the raw
+    branch features (a1 full-res, a2 @/2, a3 @/8, a4 @/32 — each `per`
+    channels) instead of the dense desc map.
+
+    kpts [K, >=2] normalized (x, y) as produced by ops/detect.detection;
+    sampling positions match sample_at_points: pixel = p * (S - 1).
+    Returns [K, 64] f32, equal to sample_at_points(dense_desc, kpts).
+    """
+    a1, a2, a3, a4 = feats
+    px = kpts[:, 0] * (w - 1.0)
+    py = kpts[:, 1] * (h - 1.0)
+    wh = params["convhead2.weight"][0, 0].astype(jnp.float32)   # [64, 65]
+    bh = params.get("convhead2.bias")
+    per = a1.shape[-1]
+
+    samples = [
+        sample_direct(a1, px, py),
+        sample_upsampled(a2, px, py, h, w),
+        sample_upsampled(a3, px, py, h, w),
+        sample_upsampled(a4, px, py, h, w),
+    ]
+    desc = sum(
+        jnp.dot(s, wh[i * per:(i + 1) * per, :-1],
+                precision=lax.Precision.HIGHEST)
+        for i, s in enumerate(samples))
+    if bh is not None:
+        desc = desc + bh[:-1].astype(jnp.float32)
+    return desc

@@ -90,3 +90,30 @@ def test_detection_threshold_masks_invalid():
     params = DetectParams(nms_dist=4, border_dist=8, top_k=5)
     kpts, valid = detection(jnp.asarray(probs), params)
     assert np.asarray(valid).sum() == 1  # zeros are not > threshold
+
+
+def test_topk_select_matches_lax_topk():
+    import jax.numpy as jnp
+    from jax import lax
+    from keypoint_bench_tpu.ops.detect import topk_select
+    rng = np.random.default_rng(8)
+    # spread values (fast path) and clustered values (forces the fallback):
+    # both must match lax.top_k exactly, values and indices
+    spread = jnp.asarray(rng.random(32768), jnp.float32)
+    clustered = jnp.asarray(
+        np.where(rng.random(32768) < 0.1, 0.9 + rng.random(32768) * 0.1, 0.0),
+        jnp.float32)
+    tied = jnp.asarray(np.round(rng.random(32768) * 20) / 20, jnp.float32)
+    for name, flat in [("spread", spread), ("clustered", clustered),
+                       ("tied", tied)]:
+        for k in (100, 1000):
+            v1, i1 = lax.top_k(flat, k)
+            v2, i2 = topk_select(flat, k)
+            np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1),
+                                          err_msg=f"{name} k={k}")
+            np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1),
+                                          err_msg=f"{name} k={k}")
+        vb, ib = topk_select(flat.astype(jnp.bfloat16), 500)
+        vr, ir = lax.top_k(flat.astype(jnp.bfloat16), 500)
+        np.testing.assert_array_equal(np.asarray(ib), np.asarray(ir),
+                                      err_msg=name)
