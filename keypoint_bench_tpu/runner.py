@@ -165,8 +165,13 @@ class Evaluator:
             iterations=int(of.get("interation", of.get("iterations", 40))))
         self.lightglue_params = None
         if self.matcher_type == "light_glue":
+            # reference wires SuperPoint/DISK (model_interface.py:62-63,
+            # 80-81) and additionally ships aliked_lightglue.pth — mapped
+            # here for the ALIKE family (desc_scale 1, like disk/aliked)
             lg_name = {"SuperPoint": "lightglue_superpoint",
-                       "DISK": "lightglue_disk"}.get(cfg.model_type)
+                       "DISK": "lightglue_disk",
+                       "Alike": "lightglue_aliked",
+                       "Alike_s2d": "lightglue_aliked"}.get(cfg.model_type)
             if lg_name is not None:
                 try:
                     self.lightglue_params = load_params(lg_name,
@@ -230,6 +235,17 @@ class Evaluator:
             tracked, _ = optical_flow(src0, src1, kpts0[:, 0:2], kpts0[:, 0:2],
                                       self.next_key(), self.lk_params)
             return kpts0, tracked, valid0
+        if self.matcher_type == "optical_flow_cv":
+            # the reference's actual LK path (utils/matcher.py optical_flow_cv
+            # + visual_odometer.py:44-47 status filter), host-side cv2
+            from keypoint_bench_tpu.ops.lk import optical_flow_cv
+            src0, src1 = imgs if imgs is not None else (desc0, desc1)
+            tracked, status = optical_flow_cv(
+                np.asarray(src0), np.asarray(src1), np.asarray(kpts0),
+                np.asarray(kpts0), win_size=self.lk_params.win_size,
+                levels=self.lk_params.levels)
+            return kpts0, jnp.asarray(tracked), \
+                valid0 & jnp.asarray(status == 1)
         return brute_force_match(kpts0, valid0, kpts1, valid1, desc0, desc1,
                                  self.bf_max_distance)
 
@@ -429,10 +445,25 @@ class Evaluator:
               " rep_mean_err", result["rep_mean_err"])
         return result
 
-    def _mha_pair_record(self, batch, ths):
+    def _dump_matches(self, i, tag, img0, img1, m0, m1, ok):
+        """Flag-gated per-pair match overlay, like the reference writes
+        behind save_result (FundamentalMatrix.py:25-48, AUC.py:146-148)."""
+        import cv2
+        from keypoint_bench_tpu.utils.visualization import plot_matches
+        okn = np.asarray(ok)
+        s0 = np.asarray([img0.shape[1] - 1.0, img0.shape[0] - 1.0])
+        s1 = np.asarray([img1.shape[1] - 1.0, img1.shape[0] - 1.0])
+        p0 = np.asarray(m0)[:, :2] * s0
+        p1 = np.asarray(m1)[:, :2] * s1
+        show = plot_matches(img0, img1, p0[okn], p1[okn])
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(self.cfg.output_dir, f"{tag}_{i}.png"),
+                    show)
+
+    def _mha_pair_record(self, batch, ths, i=None):
         """Per-pair MHA record (shared by the per-pair loop and the sharded
         path's ragged tail)."""
-        img0, _, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
+        img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
         wp01, wp10 = batch["warp01_params"], batch["warp10_params"]
         a0, _, va = self._warp(k0, v0, wp01)
         b0, _, vb = self._warp(k1, v1, wp10)
@@ -445,6 +476,8 @@ class Evaluator:
                        wp01["width"], wp01["height"],
                        img0.shape[0], img0.shape[1], self.next_key(),
                        thresholds=ths)
+        if self.cfg.task_params.get("save_images") and i is not None:
+            self._dump_matches(i, "mha_matches", img0, img1, m0, m1, ok)
         return {f"h{t:g}": out[k] for k, t in enumerate(ths)}
 
     def _run_mha_sharded(self, ds):
@@ -509,7 +542,7 @@ class Evaluator:
         for i, batch in enumerate(_iter(ds)):
             rec = log.get(i)
             if rec is None:
-                rec = log.put(i, self._mha_pair_record(batch, ths))
+                rec = log.put(i, self._mha_pair_record(batch, ths, i))
             hits.append(rec)
         log.close()
         hits = [np.array([float(r[f"h{t:g}"]) for t in ths]) for r in hits]
@@ -520,13 +553,16 @@ class Evaluator:
         result["per_pair"] = [list(map(float, h)) for h in hits]
         return result
 
-    def _auc_pair_record(self, batch):
+    def _auc_pair_record(self, batch, i=None):
         """Per-pair AUC record (device scalars; shared by the per-pair loop
         and the sharded path's ragged tail)."""
         img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = self._pair_maps(batch)
         wp01 = batch["warp01_params"]
         m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1,
                                  img0.shape[1], img0.shape[0])
+        if self.cfg.task_params.get("save_images") and i is not None:
+            # reference AUC.py:146-148 writes a match overlay per pair
+            self._dump_matches(i, "auc_matches", img0, img1, m0, m1, ok)
         h0, w0 = img0.shape[0], img0.shape[1]
         h1, w1 = img1.shape[0], img1.shape[1]
         p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
@@ -621,7 +657,7 @@ class Evaluator:
         for i, batch in enumerate(_iter(ds)):
             rec = log.get(i)
             if rec is None:
-                rec = log.put(i, self._auc_pair_record(batch))
+                rec = log.put(i, self._auc_pair_record(batch, i))
             errors.append(rec["error"])
             inliers.append(rec["inliers"])
         log.close()
@@ -750,7 +786,7 @@ class Evaluator:
             img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
                 self._seq_maps(last, batch)
             h, w = img1.shape[0], img1.shape[1]
-            if self.matcher_type == "optical_flow":
+            if self.matcher_type in ("optical_flow", "optical_flow_cv"):
                 src0, src1 = self._flow_sources(img0, img1, d0, d1)
                 m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
                                          imgs=(src0, src1))
@@ -761,6 +797,20 @@ class Evaluator:
             p1 = m1[:, 0:2] * scale
             out = fundamental_metrics(p0, p1, ok,
                                       jnp.asarray(batch["fundamental"]), th)
+            if self.cfg.task_params.get("save_images"):
+                # reference FundamentalMatrix.py:70-84: match overlay +
+                # epipolar lines of the matched points, behind save_result
+                import cv2
+                from keypoint_bench_tpu.utils.visualization import \
+                    plot_epipolar_lines
+                i = len(errs)
+                self._dump_matches(i, "fund_matches", img0, img1, m0, m1, ok)
+                okn = np.asarray(ok)
+                show = plot_epipolar_lines(
+                    img1, np.asarray(p0)[okn], np.asarray(p1)[okn],
+                    np.asarray(batch["fundamental"]))
+                cv2.imwrite(os.path.join(self.cfg.output_dir,
+                                         f"fund_epipolar_{i}.png"), show)
             errs.append(float(out["fundamental_error"]))
             radios.append(float(out["fundamental_radio"]))
             nums.append(int(out["fundamental_num"]))
@@ -891,14 +941,18 @@ class Evaluator:
                 img0, img1, s0, d0, k0, v0, s1, d1, k1, v1 = \
                     self._seq_maps(last, batch)
                 h, w = img1.shape[0], img1.shape[1]
-                if self.matcher_type == "optical_flow":
+                if self.matcher_type in ("optical_flow",
+                                          "optical_flow_cv"):
                     src0, src1 = self._flow_sources(img0, img1, d0, d1)
                     m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h,
                                              imgs=(src0, src1))
-                    # LK has no cv2 status; validity = tracked in bounds
-                    inb = ((m1[:, 0] >= 0) & (m1[:, 0] <= 1)
-                           & (m1[:, 1] >= 0) & (m1[:, 1] <= 1))
-                    ok = ok & inb
+                    if self.matcher_type == "optical_flow":
+                        # device LK has no cv2 status; validity = tracked in
+                        # bounds (ATE delta vs the cv2-status path quantified
+                        # in RESULTS.md / tests/test_vo_lk_status.py)
+                        inb = ((m1[:, 0] >= 0) & (m1[:, 0] <= 1)
+                               & (m1[:, 1] >= 0) & (m1[:, 1] <= 1))
+                        ok = ok & inb
                 else:
                     m0, m1, ok = self._match(k0, v0, k1, v1, d0, d1, w, h)
                 scale_px = jnp.asarray([w - 1.0, h - 1.0])

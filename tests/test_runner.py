@@ -62,3 +62,29 @@ def test_tracking_error_e2e():
                          matcher="optical_flow")).run()
     assert np.isfinite(res["track_error"])
     assert res["track_error"] < 10.0  # LK re-finds warped points
+
+
+def test_save_images_writes_debug_dumps(tmp_path):
+    """Flag-gated per-pair debug dumps (reference save_result behavior,
+    FundamentalMatrix.py:25-48/70-84, AUC.py:146-148) — off by default."""
+    import os
+    base = _cfg("MHA")
+    base.output_dir = str(tmp_path / "off")
+    Evaluator(base).run()
+    assert not [f for f in os.listdir(base.output_dir)
+                if f.endswith(".png")]
+
+    on = _cfg("MHA", task_params={"save_images": True})
+    on.output_dir = str(tmp_path / "mha")
+    Evaluator(on).run()
+    assert any(f.startswith("mha_matches_") for f in os.listdir(on.output_dir))
+
+    fund = _cfg("FundamentalMatrix", matcher="optical_flow",
+                data={"type": "synthetic_sequence", "num_frames": 3,
+                      "image_size": 256},
+                task_params={"save_images": True})
+    fund.output_dir = str(tmp_path / "fund")
+    Evaluator(fund).run()
+    names = os.listdir(fund.output_dir)
+    assert any(f.startswith("fund_matches_") for f in names)
+    assert any(f.startswith("fund_epipolar_") for f in names)
