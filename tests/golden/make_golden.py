@@ -141,6 +141,33 @@ def install_stubs():
     sys.modules["kornia"].filter2d = filter2d
 
 
+def randomize(model, seed):
+    """Random weights + non-trivial BN stats so layout bugs can't hide.
+
+    The draw sequence MUST stay stable (state_dict order, one draw per
+    tensor): the randomized-model golden fixtures and the reference-parity
+    tests (test_metric_parity_ext.py) both rebuild weights from the seed.
+    """
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if not torch.is_tensor(v) or not v.dtype.is_floating_point:
+            continue
+        if "running_var" in k:
+            v.copy_(0.5 + torch.rand(v.shape, generator=g))
+        elif "running_mean" in k:
+            v.copy_(0.2 * torch.randn(v.shape, generator=g))
+        elif "confidence_thresholds" in k:
+            # derived buffer, not a weight (lightglue.py:424-429): draw
+            # to keep the RNG sequence stable, but leave the buffer alone
+            torch.randn(v.shape, generator=g)
+        else:
+            v.copy_(0.3 * torch.randn(v.shape, generator=g))
+    model.load_state_dict(sd)
+    return model
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))  # repo root
     sys.path.insert(0, REF)
@@ -174,26 +201,6 @@ def main():
             import traceback
             traceback.print_exc()
             print("golden FAIL:", name, repr(e))
-
-    def randomize(model, seed):
-        """Random weights + non-trivial BN stats so layout bugs can't hide."""
-        g = torch.Generator().manual_seed(seed)
-        sd = model.state_dict()
-        for k, v in sd.items():
-            if not torch.is_tensor(v) or not v.dtype.is_floating_point:
-                continue
-            if "running_var" in k:
-                v.copy_(0.5 + torch.rand(v.shape, generator=g))
-            elif "running_mean" in k:
-                v.copy_(0.2 * torch.randn(v.shape, generator=g))
-            elif "confidence_thresholds" in k:
-                # derived buffer, not a weight (lightglue.py:424-429): draw
-                # to keep the RNG sequence stable, but leave the buffer alone
-                torch.randn(v.shape, generator=g)
-            else:
-                v.copy_(0.3 * torch.randn(v.shape, generator=g))
-        model.load_state_dict(sd)
-        return model
 
     def build_alike():
         from models.ALike import ALNet
