@@ -60,7 +60,8 @@ def main():
     if sparse:
         from keypoint_bench_tpu.models.alike_s2d import alike_s2d_feats
         from keypoint_bench_tpu.ops.detect import detection_batch
-        from keypoint_bench_tpu.ops.matching import mutual_nn_match
+        from keypoint_bench_tpu.ops.matching import (mutual_nn_match,
+                                                     take_rows)
         from keypoint_bench_tpu.ops.sparse_desc import \
             alike_sparse_descriptors
 
@@ -79,10 +80,14 @@ def main():
                     params, (f1_, f2_, f3_, f4_), k, size, size))
             d0 = sample(*[x[:, 0] for x in f0], k0)
             d1 = sample(*[x[:, 0] for x in f1], k1)
+            # bf16 descriptors for the distance matmul: the f32 HIGHEST dot
+            # is a 6-pass decomposition (+449 us/map vs +15, profile_r7.py);
+            # bf16 mode metric shift is test-guarded (tests/test_precision.py)
+            d0m, d1m = d0.astype(jnp.bfloat16), d1.astype(jnp.bfloat16)
             nn01, ok = jax.vmap(
                 lambda a, b, va, vb: mutual_nn_match(a, b, va, vb, 5.0))(
-                d0, d1, v0, v1)
-            m1 = jnp.take_along_axis(k1, nn01[..., None], axis=1)
+                d0m, d1m, v0, v1)
+            m1 = jax.vmap(take_rows)(k1, nn01)
             return jnp.sum(ok), k0, m1
 
         step = jax.jit(batch_step)

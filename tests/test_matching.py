@@ -77,3 +77,30 @@ def test_brute_force_match_end_to_end():
     ok = np.asarray(ok)
     assert ok.all()
     np.testing.assert_allclose(np.asarray(p1)[:, :2], kpts[:, :2], atol=1e-6)
+
+
+def test_bf16_match_agrees_with_f32():
+    """bf16-descriptor matching (bench fast path) must agree with the f32
+    parity path except on sub-bf16 margins: perturbed-copy pairs have real
+    margins and must match identically."""
+    rng = np.random.default_rng(4)
+    d0 = rng.normal(size=(200, 64)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    noise = 0.03 * rng.normal(size=(150, 64)).astype(np.float32)
+    d1 = np.concatenate([d0[:150] + noise,
+                         rng.normal(size=(80, 64)).astype(np.float32)])
+    v0 = np.ones(200, bool)
+    v1 = np.ones(230, bool)
+    nn_f, ok_f = mutual_nn_match(jnp.asarray(d0), jnp.asarray(d1),
+                                 jnp.asarray(v0), jnp.asarray(v1), 5.0)
+    nn_b, ok_b = mutual_nn_match(jnp.asarray(d0, jnp.bfloat16),
+                                 jnp.asarray(d1, jnp.bfloat16),
+                                 jnp.asarray(v0), jnp.asarray(v1), 5.0)
+    ok_f, ok_b = np.asarray(ok_f), np.asarray(ok_b)
+    nn_f, nn_b = np.asarray(nn_f), np.asarray(nn_b)
+    # all true-copy pairs survive in both modes with identical assignment
+    assert ok_f[:150].all() and ok_b[:150].all()
+    assert (nn_f[:150] == nn_b[:150]).all()
+    # overall agreement: bf16 may flip only marginal distractor matches
+    agree = (ok_f == ok_b) & (~ok_f | (nn_f == nn_b))
+    assert agree.mean() > 0.97
