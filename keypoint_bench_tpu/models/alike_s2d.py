@@ -129,9 +129,10 @@ def _bn_s2d(x, p, bn):
                      p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
 
 
-def _branches(params: dict, image: jnp.ndarray):
+def _branches(params: dict, image: jnp.ndarray, keep_a1_blocked: bool = False):
     """Shared trunk: stem (s2d layout) + blocks + per-branch aggregation
-    features. Returns (a1 full-res, a2 @H/2, a3 @H/8, a4 @H/32, hp, cast)."""
+    features. Returns (a1 full-res — or the raw block-layout a1b when
+    `keep_a1_blocked` — a2 @H/2, a3 @H/8, a4 @H/32, hp, cast)."""
     p = params
     b = _B
     cast = (lambda w: w.astype(jnp.bfloat16)) if \
@@ -158,7 +159,8 @@ def _branches(params: dict, image: jnp.ndarray):
 
     a1b = c.relu(c.conv2d(x1b, cast(p["conv1.weight_s2d"]),
                           p.get("conv1.bias_s2d"), 1, 0))     # [.,.,.,256]
-    a1 = un_s2d(a1b, b, p["conv1.weight"].shape[-1])          # full res
+    a1 = a1b if keep_a1_blocked else \
+        un_s2d(a1b, b, p["conv1.weight"].shape[-1])           # full res
 
     # MaxPool2 on full-res x1 == max over the 2x2 sub-blocks: channel index
     # (r, s, c) with r = 2*r1 + r0 -> reduce r0, s0; the (r1, s1, c) result is
@@ -253,12 +255,21 @@ def alike_s2d_feats(params: dict, image: jnp.ndarray):
 
     Returns (score [B,H,W,1], (a1 [B,H,W,16], a2 [B,H/2,W/2,16],
     a3 [B,H/8,W/8,16], a4 [B,H/32,W/32,16])).
+
+    NOTE (measured, don't revisit): keeping a1 in the stem's block layout
+    (skipping un_s2d, sampling via ops/sparse_desc.sample_direct_blk and
+    projecting the score per block position) HALVED the bench — the per-r
+    64-lane channel slices of the [.,.,256] tensor and the (16,16) channel
+    reshape are exactly the <128-lane relayout pathology (CLAUDE.md).
+    un_s2d IS the matmul-optimal relayout for the sampler's row-contraction
+    operand; its ~60 us/map is the fair price (tools/profile_r8.py, bench
+    1999 -> 1005 fps with the block path).
     """
     p = params
     a1, a2, a3, a4, hp, cast = _branches(p, image)
     wh = cast(p["convhead2.weight"])[0, 0]
     bh = p.get("convhead2.bias")
-    per = a1.shape[-1]
+    per = a2.shape[-1]
 
     def proj_s(a, i):
         return jnp.einsum("bhwc,c->bhw", a, wh[i * per:(i + 1) * per, -1],

@@ -136,6 +136,48 @@ def sample_direct(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     return jnp.einsum("ka,kb,kabc->kc", wr, wc, patch)
 
 
+def _un_s2d_hw(fb: jnp.ndarray, bsz: int, ch: int) -> jnp.ndarray:
+    """Unbatched inverse space-to-depth: [h, w, b*b*ch] -> [h*b, w*b, ch]."""
+    h, w = fb.shape[0], fb.shape[1]
+    x = fb.reshape(h, w, bsz, bsz, ch).transpose(0, 2, 1, 3, 4)
+    return x.reshape(h * bsz, w * bsz, ch)
+
+
+def sample_direct_blk(fb: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                      bsz: int, ch: int):
+    """`sample_direct` on a space-to-depth block-layout feature
+    [h/b, w/b, b*b*ch] (channel order (r, s, c) as models/alike_s2d.s2d):
+    the [K, h] row-interp matrix reshapes exactly to [K, h/b, b]
+    (row y = b*Y + r), so the row contraction becomes b matmuls against the
+    per-r channel groups; the flattened result has column index x = b*X + s,
+    so the column contraction is unchanged. Identical math to
+    sample_direct(un_s2d(fb)) up to float summation order.
+
+    MEASURED SLOWER than un_s2d + sample_direct in the bench pipeline
+    (1999 -> 1005 fps): the per-r 64-lane channel slices are <128-lane
+    relayouts (CLAUDE.md pathology) — un_s2d is the matmul-optimal relayout
+    and its ~60 us/map is cheaper. Kept as a tested utility for layouts
+    where the block channel count is lane-aligned."""
+    hb, wb = fb.shape[0], fb.shape[1]
+    h, w = hb * bsz, wb * bsz
+    rbase, wr = _axis_taps_direct(py, h)
+    cbase, wc = _axis_taps_direct(px, w)
+    dt = fb.dtype
+    if not _use_mm(dt):
+        return sample_direct(_un_s2d_hw(fb, bsz, ch), px, py)
+    Wr = _axis_weight_matrix(rbase, wr, h, dt)                # [K, h]
+    Wc = _axis_weight_matrix(cbase, wc, w, dt)                # [K, w]
+    Wrb = Wr.reshape(Wr.shape[0], hb, bsz)                    # y = b*Y + r
+    grp = bsz * ch
+    t = sum(
+        jnp.dot(Wrb[:, :, r], fb[:, :, r * grp:(r + 1) * grp].reshape(hb, -1),
+                preferred_element_type=jnp.float32)
+        for r in range(bsz))                                  # [K, wb*b*ch]
+    t = t.reshape(-1, w, ch)                                  # x = b*X + s
+    return jnp.einsum("kw,kwc->kc", Wc, t.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
 def sample_upsampled(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
                      h_hi: int, w_hi: int):
     """Sample `upsample_align_corners(feat, -> (h_hi, w_hi))` at continuous
@@ -172,10 +214,17 @@ def alike_sparse_descriptors(params: dict, feats, kpts: jnp.ndarray,
     py = kpts[:, 1] * (h - 1.0)
     wh = params["convhead2.weight"][0, 0].astype(jnp.float32)   # [64, 65]
     bh = params.get("convhead2.bias")
-    per = a1.shape[-1]
+    per = a2.shape[-1]
 
+    if a1.shape[0] != h:
+        # a1 arrives in the stem's space-to-depth block layout
+        # (alike_s2d_feats keeps it there — the un_s2d relayout is pure cost)
+        bsz = h // a1.shape[0]
+        s1 = sample_direct_blk(a1, px, py, bsz, per)
+    else:
+        s1 = sample_direct(a1, px, py)
     samples = [
-        sample_direct(a1, px, py),
+        s1,
         sample_upsampled(a2, px, py, h, w),
         sample_upsampled(a3, px, py, h, w),
         sample_upsampled(a4, px, py, h, w),

@@ -117,3 +117,31 @@ def test_alike_sparse_descriptors_match_dense():
                                    atol=2e-4)
     finally:
         set_conv_precision(None)
+
+
+def test_sample_direct_blk_matches_full_res():
+    """Block-layout (space-to-depth) direct sampling == full-res sampling:
+    exact in f32 mm mode, bf16-rounded otherwise (the bench path feeds it
+    the stem's a1b without the un_s2d relayout)."""
+    from keypoint_bench_tpu.models.alike_s2d import s2d
+    from keypoint_bench_tpu.ops.sparse_desc import (sample_direct,
+                                                    sample_direct_blk)
+    rng = np.random.default_rng(5)
+    feat = jnp.asarray(rng.random((64, 96, 16), np.float32))
+    fb = s2d(feat[None], 4)[0]
+    px = jnp.asarray(rng.uniform(0, 95.9, 80), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, 63.9, 80), jnp.float32)
+    set_sample_impl("mm")
+    try:
+        want = sample_direct(feat, px, py)
+        got = sample_direct_blk(fb, px, py, 4, 16)
+    finally:
+        set_sample_impl("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # bf16 (the auto mm path): only input rounding
+    got16 = sample_direct_blk(fb.astype(jnp.bfloat16), px, py, 4, 16)
+    assert np.abs(np.asarray(got16) - np.asarray(want)).max() < 2e-2
+    # f32 auto (gather fallback through the local un_s2d): exact
+    got_g = sample_direct_blk(fb, px, py, 4, 16)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want),
+                               atol=1e-5)
