@@ -67,19 +67,35 @@ def main():
 
         # batch-level step (not a vmapped pair step): detection_batch keeps
         # the rare exact-top-k fallback behind ONE batch-level predicate —
-        # under vmap, lax.cond would execute both branches on every map
-        def batch_step(imgs0, imgs1):
+        # under vmap, lax.cond would execute both branches on every map.
+        # Built as cumulative prefixes so KBT_BENCH_STAGES=1 can report
+        # honest in-graph marginal stage costs (standalone per-stage jits
+        # are unreliable through the dispatch tunnel, PERF.md round-2b).
+        def p_fwd(imgs0, imgs1):
             s0, f0 = jax.vmap(
                 lambda im: alike_s2d_feats(params, im[None]))(imgs0)
             s1, f1 = jax.vmap(
                 lambda im: alike_s2d_feats(params, im[None]))(imgs1)
+            return s0, f0, s1, f1
+
+        def p_det(imgs0, imgs1):
+            s0, f0, s1, f1 = p_fwd(imgs0, imgs1)
             k0, v0 = detection_batch(s0[:, 0, :, :, 0], dp)
             k1, v1 = detection_batch(s1[:, 0, :, :, 0], dp)
-            sample = jax.vmap(
-                lambda f1_, f2_, f3_, f4_, k: alike_sparse_descriptors(
-                    params, (f1_, f2_, f3_, f4_), k, size, size))
+            return f0, f1, k0, v0, k1, v1
+
+        sample = jax.vmap(
+            lambda f1_, f2_, f3_, f4_, k: alike_sparse_descriptors(
+                params, (f1_, f2_, f3_, f4_), k, size, size))
+
+        def p_samp(imgs0, imgs1):
+            f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
             d0 = sample(*[x[:, 0] for x in f0], k0)
             d1 = sample(*[x[:, 0] for x in f1], k1)
+            return k0, v0, k1, v1, d0, d1
+
+        def batch_step(imgs0, imgs1):
+            k0, v0, k1, v1, d0, d1 = p_samp(imgs0, imgs1)
             # bf16 descriptors for the distance matmul: the f32 HIGHEST dot
             # is a 6-pass decomposition (+449 us/map vs +15, profile_r7.py);
             # bf16 mode metric shift is test-guarded (tests/test_precision.py)
@@ -91,6 +107,7 @@ def main():
             return jnp.sum(ok), k0, m1
 
         step = jax.jit(batch_step)
+        prefixes = [("fwd", p_fwd), ("detect", p_det), ("sample", p_samp)]
     else:
         def pair_step(img0, img1):
             s0, d0 = model_fn(params, img0[None])
@@ -101,6 +118,7 @@ def main():
             return jnp.sum(ok), k0, m1
 
         step = jax.jit(jax.vmap(pair_step))
+        prefixes = []
 
     # sweet spot: 4 for the reference layout (HBM working set); the fast
     # layout keeps scaling with batch (PERF.md batch sweeps)
@@ -146,13 +164,36 @@ def main():
 
     sol = (bytes_accessed / dt) / _V5E_HBM_BYTES_PER_S \
         if bytes_accessed else None
-    print(json.dumps({
+    out = {
         "metric": "alike_t_extract_match_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "sol_pct": round(100.0 * sol, 1) if sol is not None else None,
-    }))
+    }
+
+    # opt-in per-stage marginal costs (3 extra compiles): time the
+    # cumulative in-graph prefixes and diff
+    if os.environ.get("KBT_BENCH_STAGES") == "1" and prefixes:
+        times = []
+        for _, pfn in prefixes:
+            pf = jax.jit(pfn)
+            jax.block_until_ready(pf(imgs0, imgs1))
+            jax.block_until_ready(pf(imgs0, imgs1))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o = pf(imgs0, imgs1)
+            jax.block_until_ready(o)
+            times.append((time.perf_counter() - t0) / iters)
+        times.append(dt)
+        n_maps = 2.0 * batch
+        stages = {}
+        prev = 0.0
+        for (name, _), t in zip(prefixes + [("match", None)], times):
+            stages[name] = round((t - prev) / n_maps * 1e6, 1)
+            prev = t
+        out["stage_us_per_map"] = stages
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -111,16 +111,46 @@ def transform_params_s2d(params: dict, b: int = _B) -> dict:
         for stat in ("weight", "bias", "running_mean", "running_var"):
             p[f"{bn}.{stat}_s2d"] = jnp.asarray(
                 np.tile(as_np(params[f"{bn}.{stat}"]), b * b))
+    def blockdiag_1x1(Wa: np.ndarray, nb: int) -> np.ndarray:
+        ci, co = Wa.shape[2], Wa.shape[3]
+        Wb = np.zeros((1, 1, nb * ci, nb * co), np.float32)
+        for k in range(nb):
+            Wb[0, 0, k * ci:(k + 1) * ci, k * co:(k + 1) * co] = Wa[0, 0]
+        return Wb
+
     # a1 branch: 1x1 conv is block-diagonal in block space
-    Wa = as_np(params["conv1.weight"])           # [1,1,8,16]
-    ci, co = Wa.shape[2], Wa.shape[3]
-    Wb = np.zeros((1, 1, b * b * ci, b * b * co), np.float32)
-    for k in range(b * b):
-        Wb[0, 0, k * ci:(k + 1) * ci, k * co:(k + 1) * co] = Wa[0, 0]
-    p["conv1.weight_s2d"] = jnp.asarray(Wb)
+    p["conv1.weight_s2d"] = jnp.asarray(
+        blockdiag_1x1(as_np(params["conv1.weight"]), b * b))
     if "conv1.bias" in params:
         p["conv1.bias_s2d"] = jnp.asarray(
             np.tile(as_np(params["conv1.bias"]), b * b))
+
+    # block2 in s2d(2): the H/2 trunk runs 16->64-channel convs at H/4
+    # instead of tiny-channel convs at H/2 (XLA pads conv channels to 128
+    # lanes, so the work scales with PIXELS, not channels — 4x less). The
+    # pooled x1 already comes out of the stem in the s2d(2) layout.
+    b2 = 2
+    for conv in ("block2.conv1", "block2.conv2"):
+        p[f"{conv}.weight_s2d2"] = jnp.asarray(
+            _conv_w_s2d(as_np(params[f"{conv}.weight"]), b2))
+        if f"{conv}.bias" in params:
+            p[f"{conv}.bias_s2d2"] = jnp.asarray(
+                np.tile(as_np(params[f"{conv}.bias"]), b2 * b2))
+    p["block2.downsample.weight_s2d2"] = jnp.asarray(
+        blockdiag_1x1(as_np(params["block2.downsample.weight"]), b2 * b2))
+    if "block2.downsample.bias" in params:
+        p["block2.downsample.bias_s2d2"] = jnp.asarray(
+            np.tile(as_np(params["block2.downsample.bias"]), b2 * b2))
+    for bn in ("block2.bn1", "block2.bn2"):
+        for stat in ("weight", "bias", "running_mean", "running_var"):
+            p[f"{bn}.{stat}_s2d2"] = jnp.asarray(
+                np.tile(as_np(params[f"{bn}.{stat}"]), b2 * b2))
+    # a2 head (1x1, 16->16) applied in block space, un-blocked after
+    p["conv2.weight_s2d2"] = jnp.asarray(
+        blockdiag_1x1(as_np(params["conv2.weight"]), b2 * b2))
+    if "conv2.bias" in params:
+        p["conv2.bias_s2d2"] = jnp.asarray(
+            np.tile(as_np(params["conv2.bias"]), b2 * b2))
     return p
 
 
@@ -169,16 +199,65 @@ def _branches(params: dict, image: jnp.ndarray, keep_a1_blocked: bool = False):
     cc = p["block1.conv2.weight"].shape[-1]
     v = x1b.reshape(n, h, w, 2, 2, 2, 2, cc)
     pooled = jnp.max(jnp.max(v, axis=6), axis=4)              # drop s0, r0
-    x1p = un_s2d(pooled.reshape(n, h, w, 4 * cc), 2, cc)      # [B,H/2,W/2,8]
+    pooled = pooled.reshape(n, h, w, 4 * cc)  # s2d(2) of pooled x1 at H/2
 
-    x2 = c.res_block(x1p, p, "block2")
-    x3 = c.res_block(c.max_pool(x2, 4), p, "block3")
+    if "block2.conv1.weight_s2d2" in p:
+        # block2 in the s2d(2) layout straight off the stem's pooled output:
+        # conv channels pad to 128 lanes, so 16->64ch at H/4 is ~4x less
+        # conv work than 8->16ch at H/2 (same math, _conv_w_s2d(, 2))
+        idn = c.conv2d(pooled, cast(p["block2.downsample.weight_s2d2"]),
+                       p.get("block2.downsample.bias_s2d2"), 1, 0)
+        y = c.conv2d(pooled, cast(p["block2.conv1.weight_s2d2"]),
+                     p.get("block2.conv1.bias_s2d2"), 1, 1)
+        y = c.relu(c.bn_eval(y, p["block2.bn1.weight_s2d2"],
+                             p["block2.bn1.bias_s2d2"],
+                             p["block2.bn1.running_mean_s2d2"],
+                             p["block2.bn1.running_var_s2d2"]))
+        y = c.conv2d(y, cast(p["block2.conv2.weight_s2d2"]),
+                     p.get("block2.conv2.bias_s2d2"), 1, 1)
+        y = c.bn_eval(y, p["block2.bn2.weight_s2d2"],
+                      p["block2.bn2.bias_s2d2"],
+                      p["block2.bn2.running_mean_s2d2"],
+                      p["block2.bn2.running_var_s2d2"])
+        x2b = c.relu(y + idn)                                 # [B,H/4,W/4,64]
+        cc2 = p["block2.conv2.weight"].shape[-1]
+        a2b = c.relu(c.conv2d(x2b, cast(p["conv2.weight_s2d2"]),
+                              p.get("conv2.bias_s2d2"), 1, 0))
+        a2 = un_s2d(a2b, 2, cc2)                              # [B,H/2,W/2,16]
+        # MaxPool4 on full-res x2 == max over the 2x2 sub-blocks then a 2x2
+        # block-grid pool (exactly the stem pooling identity one level up)
+        m = jnp.max(x2b.reshape(n, h, w, 2, 2, cc2), axis=(3, 4))
+        x3_in = c.max_pool(m, 2)                              # [B,H/8,.,16]
+    else:
+        x1p = un_s2d(pooled, 2, cc)                           # [B,H/2,W/2,8]
+        x2 = c.res_block(x1p, p, "block2")
+        a2 = c.relu(c.conv2d(x2, p["conv2.weight"], p.get("conv2.bias"),
+                             1, 0))
+        x3_in = c.max_pool(x2, 4)
+
+    x3 = c.res_block(x3_in, p, "block3")
     x4 = c.res_block(c.max_pool(x3, 4), p, "block4")
 
-    a2 = c.relu(c.conv2d(x2, p["conv2.weight"], p.get("conv2.bias"), 1, 0))
     a3 = c.relu(c.conv2d(x3, p["conv3.weight"], p.get("conv3.bias"), 1, 0))
     a4 = c.relu(c.conv2d(x4, p["conv4.weight"], p.get("conv4.bias"), 1, 0))
     return a1, a2, a3, a4, hp, cast
+
+
+def _combined_up_1ch(maps, H, W, hp):
+    """_combined_up for single-channel maps (the score head): squeezing the
+    channel keeps W on the lane axis for BOTH interp matmuls ([B,h,w] @
+    [w,O] then [O,h] @ [B,h,W]); the [...,1] form leaves a 1-lane minor
+    dimension that wastes the vector unit. maps: [B, h_i, w_i, 1]."""
+    dt = maps[0].dtype
+    cols = [jnp.einsum("bhw,wo->bho", m[..., 0],
+                       jnp.asarray(c._interp_matrix(W, m.shape[2]).T, dt),
+                       precision=hp)
+            for m in maps]
+    rows_in = jnp.concatenate(cols, axis=1)           # [B, h2+h3+h4, W]
+    A = np.concatenate([c._interp_matrix(H, m.shape[1])
+                        for m in maps], axis=1)
+    return jnp.einsum("oh,bhw->bow", jnp.asarray(A, dt), rows_in,
+                      precision=hp)[..., None]
 
 
 def _combined_up(maps, H, W, hp):
@@ -238,7 +317,7 @@ def alike_s2d(params: dict, image: jnp.ndarray):
 
     H, W = a1.shape[1], a1.shape[2]
     desc = d1 + _combined_up((d2, d3, d4), H, W, hp)
-    score = s1 + _combined_up((s2, s3, s4), H, W, hp)
+    score = s1 + _combined_up_1ch((s2, s3, s4), H, W, hp)
     if bh is not None:
         desc = desc + bh[:-1]
         score = score + bh[-1]
@@ -276,7 +355,7 @@ def alike_s2d_feats(params: dict, image: jnp.ndarray):
                           precision=hp)[..., None]
 
     H, W = a1.shape[1], a1.shape[2]
-    score = proj_s(a1, 0) + _combined_up(
+    score = proj_s(a1, 0) + _combined_up_1ch(
         (proj_s(a2, 1), proj_s(a3, 2), proj_s(a4, 3)), H, W, hp)
     if bh is not None:
         score = score + bh[-1]

@@ -357,12 +357,10 @@ def _nms_one(score_map: jnp.ndarray, params: DetectParams):
     use_pallas = (impl == "pallas" and jax.default_backend() == "tpu"
                   and pallas_nms.supported(h, w))
     nms_fn = pallas_nms.fast_nms_pallas if use_pallas else fast_nms
-    if use_pallas:
-        score_map = score_map.astype(jnp.float32)
-    # NOT cast to f32 otherwise: the fixpoint is exact in the map's own dtype
-    # (comparisons/maxes are order-preserving; the box sums count <= (2d+1)^2
-    # local maxima, and integers up to 256 are exact in bf16), and bf16 maps
-    # halve the NMS HBM traffic.
+    # no f32 cast on either path: the fixpoint is exact in the map's own
+    # dtype (comparisons/maxes are order-preserving; the box sums count
+    # <= (2d+1)^2 local maxima, and integers up to 256 are exact in bf16),
+    # and bf16 maps halve the NMS HBM + VMEM traffic.
     return nms_fn(score_map, params.nms_dist, params.max_nms_iter)
 
 

@@ -87,13 +87,15 @@ def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
     legalize lax.while_loop carrying whole-map vectors (scf.yield of ~500
     8x128 vector chunks), but a fori_loop whose body only mutates VMEM/SMEM
     scratch lowers cleanly. cnt_ref holds [count, prev_count]."""
+    dt = out_ref.dtype
+
     def count_and_mask(p):
         mask = _local_max_mask(p, d)
         return mask, jnp.sum(mask.astype(jnp.int32))
 
-    out_ref[...] = p_ref[...].astype(jnp.float32)
+    out_ref[...] = p_ref[...]
     mask0, count0 = count_and_mask(out_ref[...])
-    mask_ref[...] = mask0.astype(jnp.float32)
+    mask_ref[...] = mask0.astype(dt)
     cnt_ref[0] = count0
     cnt_ref[1] = jnp.int32(-1)
 
@@ -105,10 +107,10 @@ def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
             # the mask over the window minus its center
             b, a = _window_parts(mask_ref[...], d)
             others = jnp.maximum(b, a) > 0.5
-            p = jnp.where(others, jnp.float32(min_value), p)
+            p = jnp.where(others, jnp.asarray(min_value, dt), p)
             new_mask, new_count = count_and_mask(p)
             out_ref[...] = p
-            mask_ref[...] = new_mask.astype(jnp.float32)
+            mask_ref[...] = new_mask.astype(dt)
             cnt_ref[1] = cnt_ref[0]
             cnt_ref[0] = new_count
         return carry
@@ -126,14 +128,21 @@ def fast_nms_pallas(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
     from jax.experimental.pallas import tpu as pltpu
     kernel = functools.partial(_nms_kernel, d=nms_dist, max_iter=max_iter,
                                min_value=min_value)
+    # The fixpoint is exact in the map's own dtype (order-preserving
+    # compares; integer counts), but Mosaic on v5e rejects bf16 vector
+    # comparisons ("Target does not support this comparison" on arith.cmpf
+    # bf16) — so the kernel runs in f32 VMEM and converts at the edges.
+    # The cast is value-exact (bf16 -> f32 is an embedding, and suppression
+    # only writes min_value), so results equal the bf16 XLA fast_nms.
+    dt = probs.dtype
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(probs.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM(probs.shape, jnp.float32),
                         pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(probs)
-    return out.astype(probs.dtype)
+    )(probs.astype(jnp.float32))
+    return out.astype(dt)
 
 
 def supported(h: int, w: int) -> bool:

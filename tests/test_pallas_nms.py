@@ -61,3 +61,16 @@ def test_vmap_parity():
     av = jax.vmap(lambda m: fast_nms(m, 4, 30))(pb)
     bv = jax.vmap(lambda m: fast_nms_pallas(m, 4, 30, interpret=True))(pb)
     np.testing.assert_allclose(np.asarray(av), np.asarray(bv))
+
+
+def test_fixpoint_parity_bf16():
+    """bf16 maps run the kernel in bf16 (no f32 round-trip): the fixpoint is
+    exact in the map's own dtype, so the result must equal the XLA fast_nms
+    on the same bf16 map, bit for bit."""
+    rng = np.random.default_rng(7)
+    base = _smooth(rng.random((96, 128)).astype(np.float32), 2.0)
+    p = jnp.asarray(base, jnp.bfloat16)
+    a = np.asarray(fast_nms(p, 6, 30).astype(jnp.float32))
+    b = np.asarray(fast_nms_pallas(p, 6, 30, interpret=True)
+                   .astype(jnp.float32))
+    np.testing.assert_array_equal(a, b)
