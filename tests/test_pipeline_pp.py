@@ -60,7 +60,9 @@ def test_pipeline_extract_matches_single_device():
 def test_pp_vs_dp_measured_comparison():
     """The PARITY.md §2.7 claim, measured: for independent microbatches DP
     beats the 2-stage pipeline (bubble + inter-stage transfer), on the same
-    2 devices. Skipped-free: just asserts both run and records the ratio."""
+    2 devices. Asserts the direction with generous slack (the virtual-CPU
+    measurement in PARITY.md shows ~4.4x; we only require DP not to LOSE by
+    more than 1.5x, so scheduler noise can't flake the test)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     from keypoint_bench_tpu.parallel.mesh import make_mesh
 
@@ -90,6 +92,6 @@ def test_pp_vs_dp_measured_comparison():
     run_pp(), run_dp()  # compile
     t0 = time.perf_counter(); run_pp(); t_pp = time.perf_counter() - t0
     t0 = time.perf_counter(); run_dp(); t_dp = time.perf_counter() - t0
-    # both paths executed; the measured ratio is recorded in PARITY.md (CPU
-    # virtual devices — the direction, not the magnitude, is the claim)
-    assert t_pp > 0 and t_dp > 0
+    # direction guard for the PARITY.md §2.7 claim (measured ~4.4x there;
+    # 1.5x slack absorbs CI scheduler noise on the virtual CPU devices)
+    assert t_dp < t_pp * 1.5, (t_dp, t_pp)
