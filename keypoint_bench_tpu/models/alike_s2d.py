@@ -159,10 +159,15 @@ def _bn_s2d(x, p, bn):
                      p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
 
 
-def _branches(params: dict, image: jnp.ndarray, keep_a1_blocked: bool = False):
+def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False):
     """Shared trunk: stem (s2d layout) + blocks + per-branch aggregation
-    features. Returns (a1 full-res — or the raw block-layout a1b when
-    `keep_a1_blocked` — a2 @H/2, a3 @H/8, a4 @H/32, hp, cast)."""
+    features. Returns (a1 full-res, a2 @H/2, a3 @H/8, a4 @H/32, hp, cast).
+    With `keep_blocked`, a1 and a2 are returned in their raw block layouts
+    (a1b [., H/4, W/4, 256] s2d(4); a2b [., H/4, W/4, 64] s2d(2)) — the
+    channel-major feats path (alike_s2d_feats_cm) un-blocks them with a
+    single fused permute instead of un_s2d + a second transpose. a2 is
+    blocked only when the s2d(2) block2 weights are present (it is NHWC
+    otherwise — callers must check its rank/shape)."""
     p = params
     b = _B
     cast = (lambda w: w.astype(jnp.bfloat16)) if \
@@ -189,7 +194,7 @@ def _branches(params: dict, image: jnp.ndarray, keep_a1_blocked: bool = False):
 
     a1b = c.relu(c.conv2d(x1b, cast(p["conv1.weight_s2d"]),
                           p.get("conv1.bias_s2d"), 1, 0))     # [.,.,.,256]
-    a1 = a1b if keep_a1_blocked else \
+    a1 = a1b if keep_blocked else \
         un_s2d(a1b, b, p["conv1.weight"].shape[-1])           # full res
 
     # MaxPool2 on full-res x1 == max over the 2x2 sub-blocks: channel index
@@ -223,7 +228,7 @@ def _branches(params: dict, image: jnp.ndarray, keep_a1_blocked: bool = False):
         cc2 = p["block2.conv2.weight"].shape[-1]
         a2b = c.relu(c.conv2d(x2b, cast(p["conv2.weight_s2d2"]),
                               p.get("conv2.bias_s2d2"), 1, 0))
-        a2 = un_s2d(a2b, 2, cc2)                              # [B,H/2,W/2,16]
+        a2 = a2b if keep_blocked else un_s2d(a2b, 2, cc2)     # [B,H/2,W/2,16]
         # MaxPool4 on full-res x2 == max over the 2x2 sub-blocks then a 2x2
         # block-grid pool (exactly the stem pooling identity one level up)
         m = jnp.max(x2b.reshape(n, h, w, 2, 2, cc2), axis=(3, 4))
@@ -361,3 +366,71 @@ def alike_s2d_feats(params: dict, image: jnp.ndarray):
         score = score + bh[-1]
     score = jax.nn.sigmoid(score.astype(jnp.float32)).astype(a1.dtype)
     return score, (a1, a2, a3, a4)
+
+
+def _score_proj_blk(ab: jnp.ndarray, b: int, wh_col: jnp.ndarray, hp):
+    """Score projection evaluated in block space: for a block-layout feature
+    ab [B, h, w, b*b*C] (channel order (r, s, c)), computes the [B, h*b,
+    w*b, 1] map equal to ``proj_s(un_s2d(ab))`` — but the matmul runs on the
+    small block tensor and only the 1-channel result is un-blocked (0.5 MB
+    instead of an 8.4 MB full-res relayout at 512^2). The projection matrix
+    is block-structured: M[p*C + c, p] = wh_col[c]."""
+    nc = ab.shape[-1]
+    cch = nc // (b * b)
+    m = jnp.zeros((nc, b * b), wh_col.dtype)
+    for pidx in range(b * b):
+        m = m.at[pidx * cch:(pidx + 1) * cch, pidx].set(wh_col)
+    s_blk = jnp.einsum("bhwq,qp->bhwp", ab, m.astype(ab.dtype), precision=hp)
+    return un_s2d(s_blk, b, 1)
+
+
+def _to_cm_xmajor(ab: jnp.ndarray, b: int, ch: int) -> jnp.ndarray:
+    """Block layout [B, h, w, b*b*ch] -> channel-major x-major
+    [B, ch, w*b, h*b] (out[n, c, x, y] = feature[y, x, c]): ONE fused
+    permute replacing un_s2d + a second transpose."""
+    n, hb, wb, _ = ab.shape
+    x = ab.reshape(n, hb, wb, b, b, ch)        # (B, Y, X, r, s, c)
+    x = x.transpose(0, 5, 2, 4, 1, 3)          # (B, c, X, s, Y, r)
+    return x.reshape(n, ch, wb * b, hb * b)
+
+
+def alike_s2d_feats_cm(params: dict, image: jnp.ndarray):
+    """`alike_s2d_feats` with the branch features in the CHANNEL-MAJOR,
+    X-MAJOR layout the fused Pallas sampler consumes (a_it [B, C, W_i, H_i]
+    — ops/pallas_sample.py): indexing the leading channel dim in VMEM is
+    free, where the NHWC 16-channel minor dim would waste 8x of every lane
+    register. Identical score map to `alike_s2d_feats` up to float
+    summation order; the score heads for a1/a2 run in block space
+    (_score_proj_blk) so no full-res NHWC tensor is ever materialized.
+
+    Returns (score [B,H,W,1], (f1t [B,16,W,H], f2t [B,16,W/2,H/2],
+    f3t [B,16,W/8,H/8], f4t [B,16,W/32,H/32])).
+    """
+    p = params
+    if "block2.conv1.weight_s2d2" not in p:
+        score, feats = alike_s2d_feats(params, image)
+        return score, tuple(jnp.transpose(f, (0, 3, 2, 1)) for f in feats)
+
+    a1b, a2b, a3, a4, hp, cast = _branches(p, image, keep_blocked=True)
+    wh = cast(p["convhead2.weight"])[0, 0]                    # [64, 65]
+    bh = p.get("convhead2.bias")
+    per = p["conv1.weight"].shape[-1]
+    n, hb, wb, _ = a1b.shape
+    H, W = hb * _B, wb * _B
+
+    def proj_s(a, i):
+        return jnp.einsum("bhwc,c->bhw", a, wh[i * per:(i + 1) * per, -1],
+                          precision=hp)[..., None]
+
+    s1 = _score_proj_blk(a1b, _B, wh[:per, -1], hp)
+    s2 = _score_proj_blk(a2b, 2, wh[per:2 * per, -1], hp)
+    score = s1 + _combined_up_1ch((s2, proj_s(a3, 2), proj_s(a4, 3)),
+                                  H, W, hp)
+    if bh is not None:
+        score = score + bh[-1]
+    score = jax.nn.sigmoid(score.astype(jnp.float32)).astype(a1b.dtype)
+
+    return score, (_to_cm_xmajor(a1b, _B, per),
+                   _to_cm_xmajor(a2b, 2, per),
+                   jnp.transpose(a3, (0, 3, 2, 1)),
+                   jnp.transpose(a4, (0, 3, 2, 1)))

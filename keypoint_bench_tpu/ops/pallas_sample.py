@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: fused multi-branch sparse descriptor sampling.
+
+The XLA mm sampler (ops/sparse_desc._apply_weight_mats) evaluates
+``out[k, c] = sum_{y,x} Wr[k, y] Wc[k, x] feat[y, x, c]`` as two MXU
+matmuls with a ``[K, W, C]`` intermediate that round-trips HBM (~32 MB/map
+in bf16 at 512^2 across the branches) — measured ~150 us/map, ~2.5x the
+MXU time of the contraction itself. This kernel keeps every branch feature
+VMEM-resident and the intermediate in registers:
+
+  * features arrive CHANNEL-MAJOR, X-MAJOR: ``f[c, x, y]`` — indexing the
+    leading ``c`` dim in VMEM is an address offset, not a lane/sublane
+    relayout (the [H, W, 16] layout would waste 8x lanes on the 16-wide
+    minor dim);
+  * per keypoint-tile (KT=128 lanes) and channel: one MXU dot
+    ``t = f[c] @ WrT_tile`` ([w, h] x [h, KT]) and one VPU
+    multiply-reduce with the column weights ``sum_x WcT[x, k] * t[x, k]``
+    — keypoints stay on the LANE axis throughout, so nothing transposes;
+  * all branches run in one kernel: one dispatch, one HBM read of the
+    features (~10.6 MB/map), zero intermediates.
+
+Buffering: the features CANNOT be ordinary pipelined blocks — Pallas
+double-buffers every input block, and 2 x 10.6 MB busts the ~16 MB VMEM
+scoped limit. They are passed in ANY (HBM) memory space instead and
+DMA'd ONCE per map into single-buffered VMEM scratch at the map's first
+keypoint tile; the small Wr/Wc tiles stay normal (double-buffered)
+pipeline blocks. The grid is explicit (maps x keypoint-tiles), so callers
+use the batched entry point rather than vmap.
+
+The interpolation-weight matrices (WrT [h, Kp], WcT [w, Kp]) encode plain
+bilinear taps for full-res branches and the composite
+sample-of-aligned-upsample taps for low-res branches — built in XLA by
+ops/sparse_desc (same tap math as the mm path, so results match it).
+
+Reference protocol being served: utils/extracter.py:193-221 +
+utils/matcher.py:221-226 of /root/reference (descriptor sampling at
+detected keypoints); parity vs the dense map is inherited from
+ops/sparse_desc (tests/test_sparse_desc.py, tests/test_pallas_sample.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+KT = 128  # keypoints per grid step (one lane register width)
+
+# resident feature budget: single-buffered VMEM scratch (~16 MB/core on
+# v5e); the Wr/Wc pipeline blocks + temporaries add ~1.5 MB on top
+MAX_FEATURE_BYTES = 12 * 1024 * 1024
+
+
+def _kernel(*refs, n_branches: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = n_branches
+    f_hbm = refs[:n]
+    wrs = refs[n:2 * n]
+    wcs = refs[2 * n:3 * n]
+    out_ref = refs[3 * n]
+    f_vm = refs[3 * n + 1:3 * n + 1 + n]
+    sem = refs[3 * n + 1 + n]
+
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+
+    def dma(i):
+        return pltpu.make_async_copy(f_hbm[i].at[b], f_vm[i], sem.at[i])
+
+    @pl.when(k == 0)
+    def _load_features():
+        for i in range(n):
+            dma(i).start()
+        for i in range(n):
+            dma(i).wait()
+
+    row = 0
+    for i in range(n):
+        wrv = wrs[i][0]                                        # [h_i, KT]
+        wcv = wcs[i][0].astype(jnp.float32)                    # [w_i, KT]
+        for c in range(f_vm[i].shape[0]):
+            # t[x, k] = sum_y f[c, x, y] WrT[y, k]  (MXU)
+            t = jnp.dot(f_vm[i][c], wrv, preferred_element_type=jnp.float32)
+            # out[row, k] = sum_x WcT[x, k] t[x, k]  (VPU, lanes = k)
+            out_ref[0, row, :] = jnp.sum(t * wcv, axis=0)
+            row += 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_samples_batch(feats_b, wrs_b, wcs_b, interpret: bool = False):
+    """feats_b: tuple of [B, C_i, w_i, h_i] channel-major x-major features;
+    wrs_b: tuple of [B, h_i, Kp] row-tap weights; wcs_b: tuple of
+    [B, w_i, Kp] column-tap weights (Kp a multiple of KT; pad with zero
+    columns). Returns [B, sum_i C_i, Kp] f32 branch-stacked samples."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = len(feats_b)
+    assert len(wrs_b) == n and len(wcs_b) == n
+    bsz, kp = wrs_b[0].shape[0], wrs_b[0].shape[2]
+    assert kp % KT == 0, kp
+    total_c = sum(int(f.shape[1]) for f in feats_b)
+
+    def ktile(rows):
+        return pl.BlockSpec((1, rows, KT), lambda b, k: (b, 0, k),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY) for _ in feats_b]
+                + [ktile(int(w.shape[1])) for w in wrs_b]
+                + [ktile(int(w.shape[1])) for w in wcs_b])
+    scratch = [pltpu.VMEM(tuple(f.shape[1:]), f.dtype) for f in feats_b]
+    scratch.append(pltpu.SemaphoreType.DMA((n,)))
+    return pl.pallas_call(
+        functools.partial(_kernel, n_branches=n),
+        grid=(bsz, kp // KT),
+        in_specs=in_specs,
+        out_specs=ktile(total_c),
+        out_shape=jax.ShapeDtypeStruct((bsz, total_c, kp), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*feats_b, *wrs_b, *wcs_b)
+
+
+def fused_samples(feats_t, wrs_t, wcs_t, interpret: bool = False):
+    """Single-map convenience wrapper: feats_t [C_i, w_i, h_i], wrs_t
+    [h_i, Kp], wcs_t [w_i, Kp] -> [sum C_i, Kp] f32. NOT vmappable (the
+    kernel manages its own map grid + DMA) — batch via
+    fused_samples_batch."""
+    out = fused_samples_batch(tuple(f[None] for f in feats_t),
+                              tuple(w[None] for w in wrs_t),
+                              tuple(w[None] for w in wcs_t),
+                              interpret=interpret)
+    return out[0]
+
+
+def supported(feats_t) -> bool:
+    """Kernel applicability for per-map feats [C, w, h]: every branch
+    spatially >= 4 (the composite upsample taps span 4 rows) and the
+    resident features fit the VMEM scratch budget."""
+    total = 0
+    for f in feats_t:
+        c, w, h = f.shape[-3], f.shape[-2], f.shape[-1]
+        if h < 4 or w < 4:
+            return False
+        total += c * w * h * f.dtype.itemsize
+    return total <= MAX_FEATURE_BYTES

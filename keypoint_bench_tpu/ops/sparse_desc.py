@@ -114,14 +114,21 @@ def _axis_weight_matrix(base: jnp.ndarray, w: jnp.ndarray, n: int, dtype):
 
 def _apply_weight_mats(feat, rbase, wr, cbase, wc):
     """Row/col interpolation-weight matrices applied as two MXU matmuls
-    (throughput path — no gathers). feat [h, w, C] -> [K, C]."""
+    (throughput path — no gathers). feat [h, w, C] -> [K, C].
+
+    The [K, w, C] intermediate is emitted directly in the feature dtype
+    (the MXU accumulates in f32 either way, so preferred_element_type=bf16
+    equals the old f32-output-then-astype form bit-for-bit). Measured
+    neutral on the bench — XLA already fused the cast into the matmul
+    epilogue — kept for the simpler graph. The intermediate's HBM
+    round-trip itself is what the Pallas fused sampler
+    (ops/pallas_sample.py) removes."""
     h, w = feat.shape[0], feat.shape[1]
     dt = feat.dtype
     Wr = _axis_weight_matrix(rbase, wr, h, dt)                # [K, h]
     Wc = _axis_weight_matrix(cbase, wc, w, dt)                # [K, w]
-    t = jnp.einsum("kh,hwc->kwc", Wr, feat,
-                   preferred_element_type=jnp.float32)
-    return jnp.einsum("kw,kwc->kc", Wc, t.astype(dt),
+    t = jnp.einsum("kh,hwc->kwc", Wr, feat, preferred_element_type=dt)
+    return jnp.einsum("kw,kwc->kc", Wc, t,
                       preferred_element_type=jnp.float32)
 
 
@@ -197,6 +204,126 @@ def sample_upsampled(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
         return _apply_weight_mats(feat, rbase, wr, cbase, wc)
     patch = _patch_gather(feat, rbase, cbase, 4).astype(jnp.float32)
     return jnp.einsum("ka,kb,kabc->kc", wr, wc, patch)
+
+
+def _axis_weight_matrix_t(base: jnp.ndarray, w: jnp.ndarray, n: int, dtype):
+    """Transposed scatter of per-point tap weights: [n, K] with
+    W[base[k] + j, k] = w[k, j] — built directly in [n, K] orientation so
+    the Pallas sampler's keypoint-on-lanes layout needs no transpose."""
+    taps = w.shape[1]
+    rows = base[:, None] + jnp.arange(taps)[None, :]          # [K, taps]
+    hit = (jnp.arange(n)[:, None, None] == rows[None, :, :])  # [n, K, taps]
+    return jnp.sum(jnp.where(hit, w[None, :, :], 0.0), axis=2).astype(dtype)
+
+
+def _pad_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_feat_cm(f: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad a channel-major feature [..., C, w, h] to Mosaic DMA
+    alignment: lanes (h) to 128, sublanes (w) to 16. The matching tap
+    matrices carry zero rows there, so results are unchanged."""
+    w_i, h_i = f.shape[-2], f.shape[-1]
+    wp, hp = _pad_up(w_i, 16), _pad_up(h_i, 128)
+    if wp == w_i and hp == h_i:
+        return f
+    cfg = [(0, 0)] * (f.ndim - 2) + [(0, wp - w_i), (0, hp - h_i)]
+    return jnp.pad(f, cfg)
+
+
+def _cm_tap_weights(px: jnp.ndarray, py: jnp.ndarray, lo_shapes,
+                    h: int, w: int, dt):
+    """Per-map transposed tap-weight matrices for the fused kernel: branch 0
+    uses plain bilinear taps at full res, the rest composite upsample taps.
+    px/py [Kp] pixel coords; lo_shapes: [(w_lo, h_lo), ...] for branches
+    1..n (TRUE feature sizes — the matrices are built at the Mosaic-padded
+    row counts, with all-zero rows over the padding). Returns (wrs, wcs)
+    tuples of [h_pad_i, Kp] / [w_pad_i, Kp]."""
+    rb, wr = _axis_taps_direct(py, h)
+    cb, wc = _axis_taps_direct(px, w)
+    wrs = [_axis_weight_matrix_t(rb, wr, _pad_up(h, 128), dt)]
+    wcs = [_axis_weight_matrix_t(cb, wc, _pad_up(w, 16), dt)]
+    for w_lo, h_lo in lo_shapes:
+        rb, wr = _axis_taps_up(py, h, h_lo)
+        cb, wc = _axis_taps_up(px, w, w_lo)
+        wrs.append(_axis_weight_matrix_t(rb, wr, _pad_up(h_lo, 128), dt))
+        wcs.append(_axis_weight_matrix_t(cb, wc, _pad_up(w_lo, 16), dt))
+    return tuple(wrs), tuple(wcs)
+
+
+def _apply_head(params: dict, o: jnp.ndarray) -> jnp.ndarray:
+    """Branch-stacked samples [..., 64, Kp] -> descriptors [..., Kp, 64]
+    via the aggregation head's descriptor columns."""
+    wh = params["convhead2.weight"][0, 0].astype(jnp.float32)  # [64, 65]
+    desc = jnp.einsum("...qk,qd->...kd", o, wh[:, :-1])
+    bh = params.get("convhead2.bias")
+    if bh is not None:
+        desc = desc + bh[:-1].astype(jnp.float32)
+    return desc
+
+
+def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
+                                h: int, w: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """`alike_sparse_descriptors` on CHANNEL-MAJOR, X-MAJOR branch features
+    (a_it [C, W_i, H_i], from models/alike_s2d.alike_s2d_feats_cm), fused
+    into one Pallas kernel (ops/pallas_sample.py): the features stay
+    VMEM-resident and no [K, W, C] intermediate touches HBM.
+
+    kpts [K, >=2] normalized (x, y); returns [K, 64] f32, equal to the mm
+    sampler / dense sampling up to float summation order. Falls back to
+    the XLA path (via transposes) when the kernel doesn't apply (tiny
+    branch maps or VMEM overflow). NOT vmappable (the kernel manages its
+    own grid) — use alike_sparse_descriptors_cm_batch for batches.
+    """
+    from keypoint_bench_tpu.ops import pallas_sample
+
+    if not pallas_sample.supported(feats_t):
+        feats = [jnp.transpose(f, (2, 1, 0)) for f in feats_t]
+        return alike_sparse_descriptors(params, feats, kpts, h, w)
+
+    px = kpts[:, 0] * (w - 1.0)
+    py = kpts[:, 1] * (h - 1.0)
+    k = px.shape[0]
+    kp = -(-k // pallas_sample.KT) * pallas_sample.KT
+    px = jnp.pad(px, (0, kp - k))
+    py = jnp.pad(py, (0, kp - k))
+    wrs, wcs = _cm_tap_weights(px, py,
+                               [(f.shape[1], f.shape[2]) for f in feats_t[1:]],
+                               h, w, feats_t[0].dtype)
+    padded = tuple(_pad_feat_cm(f) for f in feats_t)
+    o = pallas_sample.fused_samples(padded, wrs, wcs,
+                                    interpret=interpret)      # [64, Kp]
+    return _apply_head(params, o)[:k]
+
+
+def alike_sparse_descriptors_cm_batch(params: dict, feats_b,
+                                      kpts_b: jnp.ndarray, h: int, w: int,
+                                      interpret: bool = False) -> jnp.ndarray:
+    """Batched `alike_sparse_descriptors_cm`: feats_b tuple of
+    [B, C, W_i, H_i], kpts_b [B, K, >=2] -> [B, K, 64] f32. The kernel
+    grid covers (maps x keypoint tiles) directly — do NOT vmap this."""
+    from keypoint_bench_tpu.ops import pallas_sample
+
+    if not pallas_sample.supported([f[0] for f in feats_b]):
+        feats = [jnp.transpose(f, (0, 3, 2, 1)) for f in feats_b]
+        return jax.vmap(
+            lambda f1, f2, f3, f4, kk: alike_sparse_descriptors(
+                params, (f1, f2, f3, f4), kk, h, w))(*feats, kpts_b)
+
+    k = kpts_b.shape[1]
+    kp = -(-k // pallas_sample.KT) * pallas_sample.KT
+    px = jnp.pad(kpts_b[:, :, 0] * (w - 1.0), ((0, 0), (0, kp - k)))
+    py = jnp.pad(kpts_b[:, :, 1] * (h - 1.0), ((0, 0), (0, kp - k)))
+    lo_shapes = [(f.shape[2], f.shape[3]) for f in feats_b[1:]]
+    dt = feats_b[0].dtype
+    wrs, wcs = jax.vmap(
+        lambda x, y: _cm_tap_weights(x, y, lo_shapes, h, w, dt))(px, py)
+    padded = tuple(_pad_feat_cm(f) for f in feats_b)
+    o = pallas_sample.fused_samples_batch(padded, wrs, wcs,
+                                          interpret=interpret)
+    return _apply_head(params, o)[:, :k]
 
 
 def alike_sparse_descriptors(params: dict, feats, kpts: jnp.ndarray,

@@ -1,0 +1,186 @@
+"""Fused Pallas sparse sampler == XLA sampling paths.
+
+ops/pallas_sample.py evaluates all four ALIKE branch samples in one kernel
+on channel-major features; results must match the gather/mm samplers (and
+hence dense-map sampling, tests/test_sparse_desc.py) to float tolerance.
+Runs in Pallas interpret mode on the CPU test mesh.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from keypoint_bench_tpu.models.alike_s2d import (alike_s2d, alike_s2d_feats,
+                                                 alike_s2d_feats_cm,
+                                                 transform_params_s2d)
+from keypoint_bench_tpu.models.common import set_conv_precision
+from keypoint_bench_tpu.ops.detect import DetectParams, detection
+from keypoint_bench_tpu.ops.grid_sample import sample_at_points
+from keypoint_bench_tpu.ops.pallas_sample import fused_samples, supported
+from keypoint_bench_tpu.ops.sparse_desc import (alike_sparse_descriptors,
+                                                alike_sparse_descriptors_cm,
+                                                _axis_taps_direct,
+                                                _axis_taps_up,
+                                                _axis_weight_matrix,
+                                                _axis_weight_matrix_t,
+                                                sample_direct,
+                                                sample_upsampled)
+
+
+def test_weight_matrix_t_is_transpose():
+    rng = np.random.default_rng(0)
+    py = jnp.asarray(rng.uniform(0, 62.9, 40), jnp.float32)
+    base, w = _axis_taps_up(py, 64, 16)
+    a = _axis_weight_matrix(base, w, 16, jnp.float32)
+    b = _axis_weight_matrix_t(base, w, 16, jnp.float32)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a).T, atol=0)
+
+
+def test_fused_samples_single_branch_exact_f32():
+    """Kernel vs the gather sampler on one odd-shaped branch (non-tile
+    shapes exercise Mosaic's padding semantics in interpret mode)."""
+    rng = np.random.default_rng(1)
+    h_lo, w_lo, ch = 12, 20, 5
+    h_hi, w_hi = 96, 160
+    feat = jnp.asarray(rng.random((h_lo, w_lo, ch), np.float32))
+    k, kp = 50, 128
+    px = jnp.asarray(rng.uniform(0, w_hi - 1.001, k), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, h_hi - 1.001, k), jnp.float32)
+    ref = sample_upsampled(feat, px, py, h_hi, w_hi)          # gather, f32
+
+    pxp = jnp.pad(px, (0, kp - k))
+    pyp = jnp.pad(py, (0, kp - k))
+    rb, wr = _axis_taps_up(pyp, h_hi, h_lo)
+    cb, wc = _axis_taps_up(pxp, w_hi, w_lo)
+    wrt = _axis_weight_matrix_t(rb, wr, h_lo, jnp.float32)
+    wct = _axis_weight_matrix_t(cb, wc, w_lo, jnp.float32)
+    ft = jnp.transpose(feat, (2, 1, 0))                       # [C, w, h]
+    out = fused_samples((ft,), (wrt,), (wct,), interpret=True)
+    np.testing.assert_allclose(np.asarray(out[:, :k]).T, np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_fused_samples_multi_branch_exact_f32():
+    """Four branches in one kernel == per-branch XLA sampling."""
+    rng = np.random.default_rng(2)
+    h, w = 128, 160
+    shapes = [(128, 160), (64, 80), (16, 20), (4, 5)]
+    feats = [jnp.asarray(rng.random((hl, wl, 16), np.float32))
+             for hl, wl in shapes]
+    k, kp = 100, 128
+    px = jnp.asarray(rng.uniform(0, w - 1.001, k), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, h - 1.001, k), jnp.float32)
+    refs = [sample_direct(feats[0], px, py)] + [
+        sample_upsampled(f, px, py, h, w) for f in feats[1:]]
+
+    pxp, pyp = jnp.pad(px, (0, kp - k)), jnp.pad(py, (0, kp - k))
+    wrts, wcts = [], []
+    rb, wr = _axis_taps_direct(pyp, h)
+    cb, wc = _axis_taps_direct(pxp, w)
+    wrts.append(_axis_weight_matrix_t(rb, wr, h, jnp.float32))
+    wcts.append(_axis_weight_matrix_t(cb, wc, w, jnp.float32))
+    for hl, wl in shapes[1:]:
+        rb, wr = _axis_taps_up(pyp, h, hl)
+        cb, wc = _axis_taps_up(pxp, w, wl)
+        wrts.append(_axis_weight_matrix_t(rb, wr, hl, jnp.float32))
+        wcts.append(_axis_weight_matrix_t(cb, wc, wl, jnp.float32))
+    fts = tuple(jnp.transpose(f, (2, 1, 0)) for f in feats)
+    assert supported(fts)
+    out = np.asarray(fused_samples(fts, tuple(wrts), tuple(wcts),
+                                   interpret=True))
+    for i, ref in enumerate(refs):
+        np.testing.assert_allclose(out[16 * i:16 * (i + 1), :k].T,
+                                   np.asarray(ref), atol=1e-5,
+                                   err_msg=f"branch {i}")
+
+
+def test_feats_cm_matches_feats():
+    """Channel-major forward: same score map, transposed branch features."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((1, 128, 160, 3), np.float32))
+        score, feats = alike_s2d_feats(params, img)
+        score_cm, feats_cm = alike_s2d_feats_cm(params, img)
+        np.testing.assert_allclose(np.asarray(score_cm), np.asarray(score),
+                                   atol=1e-5)
+        for i, (f, ft) in enumerate(zip(feats, feats_cm)):
+            np.testing.assert_allclose(np.asarray(ft),
+                                       np.asarray(f).transpose(0, 3, 2, 1),
+                                       atol=1e-6, err_msg=f"branch {i}")
+    finally:
+        set_conv_precision(None)
+
+
+def test_cm_descriptors_match_dense_end_to_end():
+    """Full cm pipeline (feats_cm forward + fused kernel) == dense-map
+    sampling at detected keypoints — the bench path's parity anchor."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((1, 128, 160, 3), np.float32))
+        h, w = img.shape[1], img.shape[2]
+        dp = DetectParams(nms_dist=4, border_dist=8, top_k=200)
+
+        score_d, desc_d = alike_s2d(params, img)
+        kpts, _ = detection(score_d[0], dp)
+        ref = sample_at_points(desc_d[0], kpts)
+
+        _, feats_cm = alike_s2d_feats_cm(params, img)
+        got = alike_sparse_descriptors_cm(params, [f[0] for f in feats_cm],
+                                          kpts, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+    finally:
+        set_conv_precision(None)
+
+
+def test_cm_batch_matches_per_map():
+    """Batched kernel grid (maps x k-tiles) == per-map calls."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        from keypoint_bench_tpu.ops.sparse_desc import (
+            alike_sparse_descriptors_cm_batch)
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(6)
+        imgs = jnp.asarray(rng.random((3, 128, 160, 3), np.float32))
+        h, w = 128, 160
+        dp = DetectParams(nms_dist=4, border_dist=8, top_k=200)
+        score, feats_cm = alike_s2d_feats_cm(params, imgs)
+        kpts = jnp.stack([detection(score[i], dp)[0] for i in range(3)])
+        got = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        for i in range(3):
+            want = alike_sparse_descriptors_cm(
+                params, [f[i] for f in feats_cm], kpts[i], h, w,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                       atol=1e-5, err_msg=f"map {i}")
+    finally:
+        set_conv_precision(None)
+
+
+def test_cm_fallback_on_tiny_maps():
+    """64^2 images make a4 2x2 — below the kernel's 4-row floor — so the cm
+    API must fall back to the XLA path and still match dense sampling."""
+    params = transform_params_s2d(__import__(
+        "keypoint_bench_tpu.weights", fromlist=["load_params"]
+    ).load_params("Alike"))
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    dp = DetectParams(nms_dist=4, border_dist=4, top_k=64)
+    score_d, desc_d = alike_s2d(params, img)
+    kpts, _ = detection(score_d[0], dp)
+    ref = sample_at_points(desc_d[0], kpts)
+    _, feats_cm = alike_s2d_feats_cm(params, img)
+    assert not supported([f[0] for f in feats_cm])
+    got = alike_sparse_descriptors_cm(params, [f[0] for f in feats_cm],
+                                      kpts, 64, 64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
