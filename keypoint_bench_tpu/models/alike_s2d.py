@@ -159,7 +159,8 @@ def _bn_s2d(x, p, bn):
                      p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
 
 
-def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False):
+def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
+              trunk_only: bool = False):
     """Shared trunk: stem (s2d layout) + blocks + per-branch aggregation
     features. Returns (a1 full-res, a2 @H/2, a3 @H/8, a4 @H/32, hp, cast).
     With `keep_blocked`, a1 and a2 are returned in their raw block layouts
@@ -167,9 +168,14 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False):
     channel-major feats path (alike_s2d_feats_cm) un-blocks them with a
     single fused permute instead of un_s2d + a second transpose. a2 is
     blocked only when the s2d(2) block2 weights are present (it is NHWC
-    otherwise — callers must check its rank/shape)."""
+    otherwise — callers must check its rank/shape). With `trunk_only`
+    (requires the s2d(2) weights), the a1/a2 slots carry the raw trunk
+    tensors x1b / x2b instead and the branch 1x1 convs are NOT applied —
+    the dilated-conv cm path folds them into its depth-to-space convs."""
     p = params
     b = _B
+    assert not trunk_only or "block2.conv1.weight_s2d2" in p, \
+        "trunk_only requires the s2d(2) block2 weights"
     cast = (lambda w: w.astype(jnp.bfloat16)) if \
         p["block2.conv1.weight"].dtype == jnp.bfloat16 else (lambda w: w)
     hp = None if cast(p["block2.conv1.weight"]).dtype == jnp.bfloat16 \
@@ -192,10 +198,13 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False):
                  p.get("block1.conv2.bias_s2d"), 1, 1)
     x1b = c.relu(_bn_s2d(y, p, "block1.bn2"))                 # [B,H/4,W/4,128]
 
-    a1b = c.relu(c.conv2d(x1b, cast(p["conv1.weight_s2d"]),
-                          p.get("conv1.bias_s2d"), 1, 0))     # [.,.,.,256]
-    a1 = a1b if keep_blocked else \
-        un_s2d(a1b, b, p["conv1.weight"].shape[-1])           # full res
+    if trunk_only:
+        a1 = x1b
+    else:
+        a1b = c.relu(c.conv2d(x1b, cast(p["conv1.weight_s2d"]),
+                              p.get("conv1.bias_s2d"), 1, 0))  # [.,.,.,256]
+        a1 = a1b if keep_blocked else \
+            un_s2d(a1b, b, p["conv1.weight"].shape[-1])        # full res
 
     # MaxPool2 on full-res x1 == max over the 2x2 sub-blocks: channel index
     # (r, s, c) with r = 2*r1 + r0 -> reduce r0, s0; the (r1, s1, c) result is
@@ -226,9 +235,12 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False):
                       p["block2.bn2.running_var_s2d2"])
         x2b = c.relu(y + idn)                                 # [B,H/4,W/4,64]
         cc2 = p["block2.conv2.weight"].shape[-1]
-        a2b = c.relu(c.conv2d(x2b, cast(p["conv2.weight_s2d2"]),
-                              p.get("conv2.bias_s2d2"), 1, 0))
-        a2 = a2b if keep_blocked else un_s2d(a2b, 2, cc2)     # [B,H/2,W/2,16]
+        if trunk_only:
+            a2 = x2b
+        else:
+            a2b = c.relu(c.conv2d(x2b, cast(p["conv2.weight_s2d2"]),
+                                  p.get("conv2.bias_s2d2"), 1, 0))
+            a2 = a2b if keep_blocked else un_s2d(a2b, 2, cc2)  # [B,H/2,W/2,16]
         # MaxPool4 on full-res x2 == max over the 2x2 sub-blocks then a 2x2
         # block-grid pool (exactly the stem pooling identity one level up)
         m = jnp.max(x2b.reshape(n, h, w, 2, 2, cc2), axis=(3, 4))
@@ -384,53 +396,111 @@ def _score_proj_blk(ab: jnp.ndarray, b: int, wh_col: jnp.ndarray, hp):
     return un_s2d(s_blk, b, 1)
 
 
-def _to_cm_xmajor(ab: jnp.ndarray, b: int, ch: int) -> jnp.ndarray:
-    """Block layout [B, h, w, b*b*ch] -> channel-major x-major
-    [B, ch, w*b, h*b] (out[n, c, x, y] = feature[y, x, c]): ONE fused
+# Implementation of the cm branch features (a1/a2) in alike_s2d_feats_cm:
+#   "permute": block conv1x1 then one big XLA permute to NCHW (_to_cm).
+#   "dilated": ONE lhs-dilated conv per branch — depth-to-space is a conv
+#              with one-hot block taps, the 1x1 branch head folds into its
+#              weights, and dimension_numbers emit NCHW directly (no
+#              explicit relayout at all). Exact math either way.
+_CM_BRANCH_IMPL = ["permute"]
+
+
+def set_cm_branch_impl(impl: str):
+    assert impl in ("permute", "dilated")
+    _CM_BRANCH_IMPL[0] = impl
+
+
+def _branch_cm_dilated(xb: jnp.ndarray, w1: jnp.ndarray, bias, b: int,
+                       cast) -> jnp.ndarray:
+    """relu(conv1x1(un_s2d(xb))) emitted channel-major NCHW by one
+    lhs-dilated conv. xb [B, h, w, b*b*ci] (s2d block layout, channel
+    order (r, s, c)); w1 [ci, co] the 1x1 branch head. Output
+    [B, co, h*b, w*b]. Tap derivation: with lhs_dilation=b and padding
+    b-1, output (y, x) = (b*Y + r, b*X + s) reads dilated position
+    (b*Y, b*X) through kernel tap (b-1-r, b-1-s), so
+    K[a, bp, q, :] = w1[c, :] iff q = ((b-1-a)*b + (b-1-bp))*ci + c."""
+    ci, co = w1.shape
+    k = jnp.zeros((b, b, b * b * ci, co), w1.dtype)
+    for a in range(b):
+        for bp in range(b):
+            q0 = ((b - 1 - a) * b + (b - 1 - bp)) * ci
+            k = k.at[a, bp, q0:q0 + ci, :].set(w1)
+    dn = jax.lax.conv_dimension_numbers(xb.shape, k.shape,
+                                        ("NHWC", "HWIO", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        xb, cast(k), (1, 1), ((b - 1, b - 1), (b - 1, b - 1)),
+        lhs_dilation=(b, b), dimension_numbers=dn,
+        precision=c._CONV_PRECISION[0],
+        preferred_element_type=jnp.bfloat16 if xb.dtype == jnp.bfloat16
+        else jnp.float32)
+    if bias is not None:
+        out = out + bias[None, :, None, None].astype(out.dtype)
+    return c.relu(out)
+
+
+def _to_cm(ab: jnp.ndarray, b: int, ch: int) -> jnp.ndarray:
+    """Block layout [B, h, w, b*b*ch] -> channel-major NCHW
+    [B, ch, h*b, w*b] (out[n, c, y, x] = feature[y, x, c]): ONE fused
     permute replacing un_s2d + a second transpose."""
     n, hb, wb, _ = ab.shape
     x = ab.reshape(n, hb, wb, b, b, ch)        # (B, Y, X, r, s, c)
-    x = x.transpose(0, 5, 2, 4, 1, 3)          # (B, c, X, s, Y, r)
-    return x.reshape(n, ch, wb * b, hb * b)
+    x = x.transpose(0, 5, 1, 3, 2, 4)          # (B, c, Y, r, X, s)
+    return x.reshape(n, ch, hb * b, wb * b)
 
 
 def alike_s2d_feats_cm(params: dict, image: jnp.ndarray):
-    """`alike_s2d_feats` with the branch features in the CHANNEL-MAJOR,
-    X-MAJOR layout the fused Pallas sampler consumes (a_it [B, C, W_i, H_i]
+    """`alike_s2d_feats` with the branch features in the CHANNEL-MAJOR
+    NCHW layout the fused Pallas sampler consumes (a_it [B, C, H_i, W_i]
     — ops/pallas_sample.py): indexing the leading channel dim in VMEM is
     free, where the NHWC 16-channel minor dim would waste 8x of every lane
     register. Identical score map to `alike_s2d_feats` up to float
     summation order; the score heads for a1/a2 run in block space
     (_score_proj_blk) so no full-res NHWC tensor is ever materialized.
 
-    Returns (score [B,H,W,1], (f1t [B,16,W,H], f2t [B,16,W/2,H/2],
-    f3t [B,16,W/8,H/8], f4t [B,16,W/32,H/32])).
+    Returns (score [B,H,W,1], (f1t [B,16,H,W], f2t [B,16,H/2,W/2],
+    f3t [B,16,H/8,W/8], f4t [B,16,H/32,W/32])).
     """
     p = params
     if "block2.conv1.weight_s2d2" not in p:
         score, feats = alike_s2d_feats(params, image)
-        return score, tuple(jnp.transpose(f, (0, 3, 2, 1)) for f in feats)
+        return score, tuple(jnp.transpose(f, (0, 3, 1, 2)) for f in feats)
 
-    a1b, a2b, a3, a4, hp, cast = _branches(p, image, keep_blocked=True)
+    dilated = _CM_BRANCH_IMPL[0] == "dilated"
+    if dilated:
+        x1b, x2b, a3, a4, hp, cast = _branches(p, image, trunk_only=True)
+        hb, wb = x1b.shape[1], x1b.shape[2]
+    else:
+        a1b, a2b, a3, a4, hp, cast = _branches(p, image, keep_blocked=True)
+        hb, wb = a1b.shape[1], a1b.shape[2]
     wh = cast(p["convhead2.weight"])[0, 0]                    # [64, 65]
     bh = p.get("convhead2.bias")
     per = p["conv1.weight"].shape[-1]
-    n, hb, wb, _ = a1b.shape
     H, W = hb * _B, wb * _B
 
     def proj_s(a, i):
         return jnp.einsum("bhwc,c->bhw", a, wh[i * per:(i + 1) * per, -1],
                           precision=hp)[..., None]
 
-    s1 = _score_proj_blk(a1b, _B, wh[:per, -1], hp)
-    s2 = _score_proj_blk(a2b, 2, wh[per:2 * per, -1], hp)
+    if dilated:
+        f1t = _branch_cm_dilated(x1b, cast(p["conv1.weight"])[0, 0],
+                                 p.get("conv1.bias"), _B, cast)
+        f2t = _branch_cm_dilated(x2b, cast(p["conv2.weight"])[0, 0],
+                                 p.get("conv2.bias"), 2, cast)
+        s1 = jnp.einsum("bchw,c->bhw", f1t, wh[:per, -1],
+                        precision=hp)[..., None]
+        s2 = jnp.einsum("bchw,c->bhw", f2t, wh[per:2 * per, -1],
+                        precision=hp)[..., None]
+    else:
+        f1t = _to_cm(a1b, _B, per)
+        f2t = _to_cm(a2b, 2, per)
+        s1 = _score_proj_blk(a1b, _B, wh[:per, -1], hp)
+        s2 = _score_proj_blk(a2b, 2, wh[per:2 * per, -1], hp)
     score = s1 + _combined_up_1ch((s2, proj_s(a3, 2), proj_s(a4, 3)),
                                   H, W, hp)
     if bh is not None:
         score = score + bh[-1]
-    score = jax.nn.sigmoid(score.astype(jnp.float32)).astype(a1b.dtype)
+    score = jax.nn.sigmoid(score.astype(jnp.float32)).astype(f1t.dtype)
 
-    return score, (_to_cm_xmajor(a1b, _B, per),
-                   _to_cm_xmajor(a2b, 2, per),
-                   jnp.transpose(a3, (0, 3, 2, 1)),
-                   jnp.transpose(a4, (0, 3, 2, 1)))
+    return score, (f1t, f2t,
+                   jnp.transpose(a3, (0, 3, 1, 2)),
+                   jnp.transpose(a4, (0, 3, 1, 2)))

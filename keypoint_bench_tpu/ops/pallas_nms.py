@@ -36,17 +36,20 @@ MAX_PIXELS = 512 * 1024
 
 def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """out[i, j] = x[i - dy, j - dx], zeros shifted in (the reference's
-    zero-padding window semantics). roll + edge mask, no pad/concat."""
+    zero-padding window semantics). roll + edge mask, no pad/concat.
+    Dtype-generic: the fill is a zero of x's dtype (i16 keys use 0 too —
+    the sortable transform maps 0.0 to key 0)."""
     h, w = x.shape
+    zero = jnp.asarray(0, x.dtype)
     r = x
     if dy:
         r = jnp.roll(r, dy, axis=0)
         ri = lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        r = jnp.where(ri >= dy if dy > 0 else ri < h + dy, r, 0.0)
+        r = jnp.where(ri >= dy if dy > 0 else ri < h + dy, r, zero)
     if dx:
         r = jnp.roll(r, dx, axis=1)
         ci = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        r = jnp.where(ci >= dx if dx > 0 else ci < w + dx, r, 0.0)
+        r = jnp.where(ci >= dx if dx > 0 else ci < w + dx, r, zero)
     return r
 
 
@@ -82,11 +85,13 @@ def _local_max_mask(p: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
-                min_value: float):
+                min_value):
     """Fixpoint loop with all loop state in scratch refs: Mosaic cannot
     legalize lax.while_loop carrying whole-map vectors (scf.yield of ~500
     8x128 vector chunks), but a fori_loop whose body only mutates VMEM/SMEM
-    scratch lowers cleanly. cnt_ref holds [count, prev_count]."""
+    scratch lowers cleanly. cnt_ref holds [count, prev_count]. Dtype-
+    generic: runs on f32 maps or on int16 sortable keys (masks are 0/1 in
+    the map dtype either way)."""
     dt = out_ref.dtype
 
     def count_and_mask(p):
@@ -104,9 +109,10 @@ def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
         def _round():
             p = out_ref[...]
             # suppressed iff some OTHER local max lies in the window: max of
-            # the mask over the window minus its center
+            # the mask over the window minus its center (masks are exact
+            # 0/1 values, so "> 0" is the membership test in any dtype)
             b, a = _window_parts(mask_ref[...], d)
-            others = jnp.maximum(b, a) > 0.5
+            others = jnp.maximum(b, a) > jnp.asarray(0, dt)
             p = jnp.where(others, jnp.asarray(min_value, dt), p)
             new_mask, new_count = count_and_mask(p)
             out_ref[...] = p
@@ -126,15 +132,19 @@ def fast_nms_pallas(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,
     if nms_dist == 0:
         return probs
     from jax.experimental.pallas import tpu as pltpu
+    dt = probs.dtype
+    # The kernel runs in f32 VMEM and converts at the edges. This is forced
+    # by the target, not taste: v5e Mosaic rejects BOTH bf16 vector
+    # comparisons ("Target does not support this comparison", arith.cmpf)
+    # AND int16 vector compares/maxes (same error on arith.cmpi i16,
+    # failed-to-legalize on arith.maxsi) — so a 16-bit fixpoint (bf16
+    # directly, or bf16 bits as sortable int16 keys) cannot lower at all.
+    # Measured negative result, round 3; don't revisit on v5e. The f32
+    # round-trip is value-exact (bf16 -> f32 is an embedding, and
+    # suppression only writes min_value), so results equal the bf16 XLA
+    # fast_nms bit for bit.
     kernel = functools.partial(_nms_kernel, d=nms_dist, max_iter=max_iter,
                                min_value=min_value)
-    # The fixpoint is exact in the map's own dtype (order-preserving
-    # compares; integer counts), but Mosaic on v5e rejects bf16 vector
-    # comparisons ("Target does not support this comparison" on arith.cmpf
-    # bf16) — so the kernel runs in f32 VMEM and converts at the edges.
-    # The cast is value-exact (bf16 -> f32 is an embedding, and suppression
-    # only writes min_value), so results equal the bf16 XLA fast_nms.
-    dt = probs.dtype
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(probs.shape, jnp.float32),

@@ -7,13 +7,13 @@ in bf16 at 512^2 across the branches) — measured ~150 us/map, ~2.5x the
 MXU time of the contraction itself. This kernel keeps every branch feature
 VMEM-resident and the intermediate in registers:
 
-  * features arrive CHANNEL-MAJOR, X-MAJOR: ``f[c, x, y]`` — indexing the
-    leading ``c`` dim in VMEM is an address offset, not a lane/sublane
-    relayout (the [H, W, 16] layout would waste 8x lanes on the 16-wide
-    minor dim);
+  * features arrive CHANNEL-MAJOR (NCHW per map: ``f[c, y, x]``) —
+    indexing the leading ``c`` dim in VMEM is an address offset, not a
+    lane/sublane relayout (the [H, W, 16] layout would waste 8x lanes on
+    the 16-wide minor dim);
   * per keypoint-tile (KT=128 lanes) and channel: one MXU dot
-    ``t = f[c] @ WrT_tile`` ([w, h] x [h, KT]) and one VPU
-    multiply-reduce with the column weights ``sum_x WcT[x, k] * t[x, k]``
+    ``t = f[c] @ WcT_tile`` ([h, w] x [w, KT]) and one VPU
+    multiply-reduce with the row weights ``sum_y WrT[y, k] * t[y, k]``
     — keypoints stay on the LANE axis throughout, so nothing transposes;
   * all branches run in one kernel: one dispatch, one HBM read of the
     features (~10.6 MB/map), zero intermediates.
@@ -77,19 +77,19 @@ def _kernel(*refs, n_branches: int):
 
     row = 0
     for i in range(n):
-        wrv = wrs[i][0]                                        # [h_i, KT]
-        wcv = wcs[i][0].astype(jnp.float32)                    # [w_i, KT]
+        wcv = wcs[i][0]                                        # [w_i, KT]
+        wrv = wrs[i][0].astype(jnp.float32)                    # [h_i, KT]
         for c in range(f_vm[i].shape[0]):
-            # t[x, k] = sum_y f[c, x, y] WrT[y, k]  (MXU)
-            t = jnp.dot(f_vm[i][c], wrv, preferred_element_type=jnp.float32)
-            # out[row, k] = sum_x WcT[x, k] t[x, k]  (VPU, lanes = k)
-            out_ref[0, row, :] = jnp.sum(t * wcv, axis=0)
+            # t[y, k] = sum_x f[c, y, x] WcT[x, k]  (MXU)
+            t = jnp.dot(f_vm[i][c], wcv, preferred_element_type=jnp.float32)
+            # out[row, k] = sum_y WrT[y, k] t[y, k]  (VPU, lanes = k)
+            out_ref[0, row, :] = jnp.sum(t * wrv, axis=0)
             row += 1
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_samples_batch(feats_b, wrs_b, wcs_b, interpret: bool = False):
-    """feats_b: tuple of [B, C_i, w_i, h_i] channel-major x-major features;
+    """feats_b: tuple of [B, C_i, h_i, w_i] channel-major (NCHW) features;
     wrs_b: tuple of [B, h_i, Kp] row-tap weights; wcs_b: tuple of
     [B, w_i, Kp] column-tap weights (Kp a multiple of KT; pad with zero
     columns). Returns [B, sum_i C_i, Kp] f32 branch-stacked samples."""
@@ -122,7 +122,7 @@ def fused_samples_batch(feats_b, wrs_b, wcs_b, interpret: bool = False):
 
 
 def fused_samples(feats_t, wrs_t, wcs_t, interpret: bool = False):
-    """Single-map convenience wrapper: feats_t [C_i, w_i, h_i], wrs_t
+    """Single-map convenience wrapper: feats_t [C_i, h_i, w_i], wrs_t
     [h_i, Kp], wcs_t [w_i, Kp] -> [sum C_i, Kp] f32. NOT vmappable (the
     kernel manages its own map grid + DMA) — batch via
     fused_samples_batch."""
@@ -134,12 +134,12 @@ def fused_samples(feats_t, wrs_t, wcs_t, interpret: bool = False):
 
 
 def supported(feats_t) -> bool:
-    """Kernel applicability for per-map feats [C, w, h]: every branch
+    """Kernel applicability for per-map feats [C, h, w]: every branch
     spatially >= 4 (the composite upsample taps span 4 rows) and the
     resident features fit the VMEM scratch budget."""
     total = 0
     for f in feats_t:
-        c, w, h = f.shape[-3], f.shape[-2], f.shape[-1]
+        c, h, w = f.shape[-3], f.shape[-2], f.shape[-1]
         if h < 4 or w < 4:
             return False
         total += c * w * h * f.dtype.itemsize

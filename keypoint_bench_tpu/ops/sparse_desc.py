@@ -209,11 +209,15 @@ def sample_upsampled(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
 def _axis_weight_matrix_t(base: jnp.ndarray, w: jnp.ndarray, n: int, dtype):
     """Transposed scatter of per-point tap weights: [n, K] with
     W[base[k] + j, k] = w[k, j] — built directly in [n, K] orientation so
-    the Pallas sampler's keypoint-on-lanes layout needs no transpose."""
-    taps = w.shape[1]
-    rows = base[:, None] + jnp.arange(taps)[None, :]          # [K, taps]
-    hit = (jnp.arange(n)[:, None, None] == rows[None, :, :])  # [n, K, taps]
-    return jnp.sum(jnp.where(hit, w[None, :, :], 0.0), axis=2).astype(dtype)
+    the Pallas sampler's keypoint-on-lanes layout needs no transpose.
+    Written as a sum of per-tap [n, K] terms (taps <= 4, XLA fuses the
+    whole thing into one pass) instead of an [n, K, taps] select."""
+    rows = jnp.arange(n)[:, None]                             # [n, 1]
+    out = None
+    for j in range(w.shape[1]):
+        term = jnp.where(rows == (base + j)[None, :], w[None, :, j], 0.0)
+        out = term if out is None else out + term
+    return out.astype(dtype)
 
 
 def _pad_up(n: int, m: int) -> int:
@@ -221,14 +225,14 @@ def _pad_up(n: int, m: int) -> int:
 
 
 def _pad_feat_cm(f: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad a channel-major feature [..., C, w, h] to Mosaic DMA
-    alignment: lanes (h) to 128, sublanes (w) to 16. The matching tap
+    """Zero-pad a channel-major feature [..., C, h, w] to Mosaic DMA
+    alignment: lanes (w) to 128, sublanes (h) to 16. The matching tap
     matrices carry zero rows there, so results are unchanged."""
-    w_i, h_i = f.shape[-2], f.shape[-1]
-    wp, hp = _pad_up(w_i, 16), _pad_up(h_i, 128)
+    h_i, w_i = f.shape[-2], f.shape[-1]
+    hp, wp = _pad_up(h_i, 16), _pad_up(w_i, 128)
     if wp == w_i and hp == h_i:
         return f
-    cfg = [(0, 0)] * (f.ndim - 2) + [(0, wp - w_i), (0, hp - h_i)]
+    cfg = [(0, 0)] * (f.ndim - 2) + [(0, hp - h_i), (0, wp - w_i)]
     return jnp.pad(f, cfg)
 
 
@@ -236,19 +240,20 @@ def _cm_tap_weights(px: jnp.ndarray, py: jnp.ndarray, lo_shapes,
                     h: int, w: int, dt):
     """Per-map transposed tap-weight matrices for the fused kernel: branch 0
     uses plain bilinear taps at full res, the rest composite upsample taps.
-    px/py [Kp] pixel coords; lo_shapes: [(w_lo, h_lo), ...] for branches
+    px/py [Kp] pixel coords; lo_shapes: [(h_lo, w_lo), ...] for branches
     1..n (TRUE feature sizes — the matrices are built at the Mosaic-padded
-    row counts, with all-zero rows over the padding). Returns (wrs, wcs)
-    tuples of [h_pad_i, Kp] / [w_pad_i, Kp]."""
+    row counts, with all-zero rows over the padding; NCHW: w is the lane
+    dim -> 128, h the sublane dim -> 16). Returns (wrs, wcs) tuples of
+    [h_pad_i, Kp] / [w_pad_i, Kp]."""
     rb, wr = _axis_taps_direct(py, h)
     cb, wc = _axis_taps_direct(px, w)
-    wrs = [_axis_weight_matrix_t(rb, wr, _pad_up(h, 128), dt)]
-    wcs = [_axis_weight_matrix_t(cb, wc, _pad_up(w, 16), dt)]
-    for w_lo, h_lo in lo_shapes:
+    wrs = [_axis_weight_matrix_t(rb, wr, _pad_up(h, 16), dt)]
+    wcs = [_axis_weight_matrix_t(cb, wc, _pad_up(w, 128), dt)]
+    for h_lo, w_lo in lo_shapes:
         rb, wr = _axis_taps_up(py, h, h_lo)
         cb, wc = _axis_taps_up(px, w, w_lo)
-        wrs.append(_axis_weight_matrix_t(rb, wr, _pad_up(h_lo, 128), dt))
-        wcs.append(_axis_weight_matrix_t(cb, wc, _pad_up(w_lo, 16), dt))
+        wrs.append(_axis_weight_matrix_t(rb, wr, _pad_up(h_lo, 16), dt))
+        wcs.append(_axis_weight_matrix_t(cb, wc, _pad_up(w_lo, 128), dt))
     return tuple(wrs), tuple(wcs)
 
 
@@ -266,8 +271,8 @@ def _apply_head(params: dict, o: jnp.ndarray) -> jnp.ndarray:
 def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
                                 h: int, w: int,
                                 interpret: bool = False) -> jnp.ndarray:
-    """`alike_sparse_descriptors` on CHANNEL-MAJOR, X-MAJOR branch features
-    (a_it [C, W_i, H_i], from models/alike_s2d.alike_s2d_feats_cm), fused
+    """`alike_sparse_descriptors` on CHANNEL-MAJOR branch features
+    (a_it [C, H_i, W_i], from models/alike_s2d.alike_s2d_feats_cm), fused
     into one Pallas kernel (ops/pallas_sample.py): the features stay
     VMEM-resident and no [K, W, C] intermediate touches HBM.
 
@@ -280,7 +285,7 @@ def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
     from keypoint_bench_tpu.ops import pallas_sample
 
     if not pallas_sample.supported(feats_t):
-        feats = [jnp.transpose(f, (2, 1, 0)) for f in feats_t]
+        feats = [jnp.transpose(f, (1, 2, 0)) for f in feats_t]
         return alike_sparse_descriptors(params, feats, kpts, h, w)
 
     px = kpts[:, 0] * (w - 1.0)
@@ -291,7 +296,7 @@ def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
     py = jnp.pad(py, (0, kp - k))
     wrs, wcs = _cm_tap_weights(px, py,
                                [(f.shape[1], f.shape[2]) for f in feats_t[1:]],
-                               h, w, feats_t[0].dtype)
+                               h, w, feats_t[0].dtype)  # (h_lo, w_lo) per branch
     padded = tuple(_pad_feat_cm(f) for f in feats_t)
     o = pallas_sample.fused_samples(padded, wrs, wcs,
                                     interpret=interpret)      # [64, Kp]
@@ -302,12 +307,12 @@ def alike_sparse_descriptors_cm_batch(params: dict, feats_b,
                                       kpts_b: jnp.ndarray, h: int, w: int,
                                       interpret: bool = False) -> jnp.ndarray:
     """Batched `alike_sparse_descriptors_cm`: feats_b tuple of
-    [B, C, W_i, H_i], kpts_b [B, K, >=2] -> [B, K, 64] f32. The kernel
+    [B, C, H_i, W_i], kpts_b [B, K, >=2] -> [B, K, 64] f32. The kernel
     grid covers (maps x keypoint tiles) directly — do NOT vmap this."""
     from keypoint_bench_tpu.ops import pallas_sample
 
     if not pallas_sample.supported([f[0] for f in feats_b]):
-        feats = [jnp.transpose(f, (0, 3, 2, 1)) for f in feats_b]
+        feats = [jnp.transpose(f, (0, 2, 3, 1)) for f in feats_b]
         return jax.vmap(
             lambda f1, f2, f3, f4, kk: alike_sparse_descriptors(
                 params, (f1, f2, f3, f4), kk, h, w))(*feats, kpts_b)

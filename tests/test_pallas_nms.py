@@ -64,13 +64,26 @@ def test_vmap_parity():
 
 
 def test_fixpoint_parity_bf16():
-    """bf16 maps run the kernel in bf16 (no f32 round-trip): the fixpoint is
-    exact in the map's own dtype, so the result must equal the XLA fast_nms
-    on the same bf16 map, bit for bit."""
+    """bf16 maps run the kernel on sortable int16 keys (Mosaic rejects bf16
+    float compares; int16 order == float order under the sign-flip
+    transform): the result must equal the XLA fast_nms on the same bf16
+    map, bit for bit."""
     rng = np.random.default_rng(7)
     base = _smooth(rng.random((96, 128)).astype(np.float32), 2.0)
     p = jnp.asarray(base, jnp.bfloat16)
     a = np.asarray(fast_nms(p, 6, 30).astype(jnp.float32))
     b = np.asarray(fast_nms_pallas(p, 6, 30, interpret=True)
+                   .astype(jnp.float32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fixpoint_parity_bf16_signed():
+    """Negative values exercise the sortable-int16 transform's sign branch
+    (Harris responses go negative); suppression still writes 0.0."""
+    rng = np.random.default_rng(8)
+    base = _smooth(rng.random((64, 128)).astype(np.float32) - 0.5, 2.0)
+    p = jnp.asarray(base, jnp.bfloat16)
+    a = np.asarray(fast_nms(p, 4, 30).astype(jnp.float32))
+    b = np.asarray(fast_nms_pallas(p, 4, 30, interpret=True)
                    .astype(jnp.float32))
     np.testing.assert_array_equal(a, b)

@@ -53,7 +53,7 @@ def test_fused_samples_single_branch_exact_f32():
     cb, wc = _axis_taps_up(pxp, w_hi, w_lo)
     wrt = _axis_weight_matrix_t(rb, wr, h_lo, jnp.float32)
     wct = _axis_weight_matrix_t(cb, wc, w_lo, jnp.float32)
-    ft = jnp.transpose(feat, (2, 1, 0))                       # [C, w, h]
+    ft = jnp.transpose(feat, (2, 0, 1))                       # [C, h, w]
     out = fused_samples((ft,), (wrt,), (wct,), interpret=True)
     np.testing.assert_allclose(np.asarray(out[:, :k]).T, np.asarray(ref),
                                atol=1e-5)
@@ -83,7 +83,7 @@ def test_fused_samples_multi_branch_exact_f32():
         cb, wc = _axis_taps_up(pxp, w, wl)
         wrts.append(_axis_weight_matrix_t(rb, wr, hl, jnp.float32))
         wcts.append(_axis_weight_matrix_t(cb, wc, wl, jnp.float32))
-    fts = tuple(jnp.transpose(f, (2, 1, 0)) for f in feats)
+    fts = tuple(jnp.transpose(f, (2, 0, 1)) for f in feats)
     assert supported(fts)
     out = np.asarray(fused_samples(fts, tuple(wrts), tuple(wcts),
                                    interpret=True))
@@ -108,7 +108,7 @@ def test_feats_cm_matches_feats():
                                    atol=1e-5)
         for i, (f, ft) in enumerate(zip(feats, feats_cm)):
             np.testing.assert_allclose(np.asarray(ft),
-                                       np.asarray(f).transpose(0, 3, 2, 1),
+                                       np.asarray(f).transpose(0, 3, 1, 2),
                                        atol=1e-6, err_msg=f"branch {i}")
     finally:
         set_conv_precision(None)
@@ -164,6 +164,30 @@ def test_cm_batch_matches_per_map():
             np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                        atol=1e-5, err_msg=f"map {i}")
     finally:
+        set_conv_precision(None)
+
+
+def test_feats_cm_dilated_matches_permute():
+    """The lhs-dilated-conv branch path (depth-to-space as a one-hot-tap
+    conv with the 1x1 head folded in) == the permute path, f32-exact."""
+    from keypoint_bench_tpu.models.alike_s2d import set_cm_branch_impl
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(9)
+        img = jnp.asarray(rng.random((2, 128, 160, 3), np.float32))
+        score_p, feats_p = alike_s2d_feats_cm(params, img)
+        set_cm_branch_impl("dilated")
+        score_d, feats_d = alike_s2d_feats_cm(params, img)
+        np.testing.assert_allclose(np.asarray(score_d), np.asarray(score_p),
+                                   atol=1e-5)
+        for i, (a, b) in enumerate(zip(feats_p, feats_d)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, err_msg=f"branch {i}")
+    finally:
+        set_cm_branch_impl("permute")
         set_conv_precision(None)
 
 
