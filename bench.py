@@ -58,12 +58,21 @@ def main():
     sparse = (os.environ.get("KBT_BENCH_SPARSE", "1") == "1"
               and model_name == "Alike_s2d")
     if sparse:
-        from keypoint_bench_tpu.models.alike_s2d import alike_s2d_feats
+        from keypoint_bench_tpu.models.alike_s2d import (alike_s2d_feats,
+                                                         alike_s2d_feats_cm)
         from keypoint_bench_tpu.ops.detect import detection_batch
         from keypoint_bench_tpu.ops.matching import (mutual_nn_match,
                                                      take_rows)
-        from keypoint_bench_tpu.ops.sparse_desc import \
-            alike_sparse_descriptors
+        from keypoint_bench_tpu.ops.sparse_desc import (
+            alike_sparse_descriptors, alike_sparse_descriptors_cm_batch_yorder)
+
+        # KBT_BENCH_CM=1 (default on TPU): channel-major branch features +
+        # the fused Pallas sampler with in-kernel taps (ops/pallas_sample);
+        # 0 = NHWC features + the XLA mm sampler. Same math either way
+        # (tests/test_pallas_sample.py).
+        cm = (os.environ.get("KBT_BENCH_CM", "1") == "1"
+              and jax.default_backend() == "tpu")
+        fwd_feats = alike_s2d_feats_cm if cm else alike_s2d_feats
 
         # batch-level step (not a vmapped pair step): detection_batch keeps
         # the rare exact-top-k fallback behind ONE batch-level predicate —
@@ -73,9 +82,9 @@ def main():
         # are unreliable through the dispatch tunnel, PERF.md round-2b).
         def p_fwd(imgs0, imgs1):
             s0, f0 = jax.vmap(
-                lambda im: alike_s2d_feats(params, im[None]))(imgs0)
+                lambda im: fwd_feats(params, im[None]))(imgs0)
             s1, f1 = jax.vmap(
-                lambda im: alike_s2d_feats(params, im[None]))(imgs1)
+                lambda im: fwd_feats(params, im[None]))(imgs1)
             return s0, f0, s1, f1
 
         def p_det(imgs0, imgs1):
@@ -84,15 +93,28 @@ def main():
             k1, v1 = detection_batch(s1[:, 0, :, :, 0], dp)
             return f0, f1, k0, v0, k1, v1
 
-        sample = jax.vmap(
-            lambda f1_, f2_, f3_, f4_, k: alike_sparse_descriptors(
-                params, (f1_, f2_, f3_, f4_), k, size, size))
+        if cm:
+            # y-ordered sampler: desc/kpts/valid come back consistently
+            # permuted into the band kernel's sorted order — mutual-NN
+            # matching is permutation-equivariant, so counts and matched
+            # pairs are unchanged (tests/test_pallas_sample.py)
+            def p_samp(imgs0, imgs1):
+                f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
+                d0, k0, v0 = alike_sparse_descriptors_cm_batch_yorder(
+                    params, tuple(x[:, 0] for x in f0), k0, v0, size, size)
+                d1, k1, v1 = alike_sparse_descriptors_cm_batch_yorder(
+                    params, tuple(x[:, 0] for x in f1), k1, v1, size, size)
+                return k0, v0, k1, v1, d0, d1
+        else:
+            sample = jax.vmap(
+                lambda f1_, f2_, f3_, f4_, k: alike_sparse_descriptors(
+                    params, (f1_, f2_, f3_, f4_), k, size, size))
 
-        def p_samp(imgs0, imgs1):
-            f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
-            d0 = sample(*[x[:, 0] for x in f0], k0)
-            d1 = sample(*[x[:, 0] for x in f1], k1)
-            return k0, v0, k1, v1, d0, d1
+            def p_samp(imgs0, imgs1):
+                f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
+                d0 = sample(*[x[:, 0] for x in f0], k0)
+                d1 = sample(*[x[:, 0] for x in f1], k1)
+                return k0, v0, k1, v1, d0, d1
 
         def batch_step(imgs0, imgs1):
             k0, v0, k1, v1, d0, d1 = p_samp(imgs0, imgs1)

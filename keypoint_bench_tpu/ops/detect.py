@@ -42,9 +42,10 @@ _AUTO_IMPL = "pallas"
 def set_nms_impl(impl: str):
     assert impl in ("auto", "xla", "pallas")
     _NMS_IMPL[0] = impl
-    # detection() reads the selector at trace time; drop its cached traces
-    # so the switch applies to already-compiled shapes too
+    # detection()/detection_batch() read the selector at trace time; drop
+    # their cached traces so the switch applies to already-compiled shapes
     detection.clear_cache()
+    detection_batch.clear_cache()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -338,11 +339,6 @@ def detection(score_map: jnp.ndarray, params: DetectParams = DetectParams()):
     """
     if score_map.ndim == 3:
         score_map = score_map[..., 0]
-    h, w = score_map.shape
-    from keypoint_bench_tpu.ops import pallas_nms
-    impl = _NMS_IMPL[0]
-    if impl == "auto":
-        impl = _AUTO_IMPL
     nms = _nms_one(score_map, params)
     return _post_nms(nms, params)
 
@@ -387,6 +383,47 @@ def _post_nms(nms: jnp.ndarray, params: DetectParams):
     return _kpts_from_topk(scores, idx, h, w, params)
 
 
+def _detection_batch_fused(score_maps: jnp.ndarray, params: DetectParams,
+                           per_chunk: int = 8, interpret: bool = False):
+    """Fused-kernel batch detection: NMS fixpoint + border mask + per-chunk
+    candidate peel all happen on the VMEM-resident map (one HBM read per
+    map, ops/pallas_nms._nms_topk_kernel); the merge + exactness guard
+    below is exactly topk_select with chunk = 128. Identical results to
+    the unfused path (tests/test_pallas_nms.py)."""
+    from keypoint_bench_tpu.ops import pallas_nms
+    b, h, w = score_maps.shape
+    k = min(params.top_k, h * w)
+    nc = (w // 128) * per_chunk
+    nms, v, i = jax.vmap(lambda s: pallas_nms.fast_nms_topk_pallas(
+        s, params.nms_dist, params.max_nms_iter, params.border_dist,
+        per_chunk, interpret=interpret))(score_maps)
+    # candidate lane (blk, j); flat (row, blk, j) order is index-ordered
+    vals = v.reshape(b, h * nc)
+    gidx = (jnp.arange(h, dtype=jnp.int32)[None, :, None] * w
+            + i).reshape(b, h * nc)
+
+    def merge(fv, gi):
+        pos0 = lax.iota(jnp.int32, fv.shape[0])
+        negv, pos = lax.sort((-fv, pos0), num_keys=1, is_stable=True)
+        return -negv[:k], gi[pos[:k]]
+
+    vk, ik = jax.vmap(merge)(vals, gidx)
+    # a chunk whose last (smallest) peeled value still reaches the merged
+    # cutoff may have held further top-k members or lower-index ties —
+    # fall back to the exact full sort (single batch-level predicate)
+    cutoff = vk[:, k - 1]
+    last = v[:, :, per_chunk - 1::per_chunk]        # [B, H, n_blk]
+    unsafe = jnp.any(last >= cutoff[:, None, None])
+    vk, ik = lax.cond(
+        unsafe,
+        lambda maps: jax.vmap(lambda m: _topk_stable_sort(
+            remove_border(m.astype(jnp.float32),
+                          params.border_dist).reshape(-1), k))(maps),
+        lambda maps: (vk, ik), nms)
+    return jax.vmap(
+        lambda s_, i_: _kpts_from_topk(s_, i_, h, w, params))(vk, ik)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def detection_batch(score_maps: jnp.ndarray,
                     params: DetectParams = DetectParams()):
@@ -399,10 +436,17 @@ def detection_batch(score_maps: jnp.ndarray,
     if score_maps.ndim == 4:
         score_maps = score_maps[..., 0]
     b, h, w = score_maps.shape
+    k = min(params.top_k, h * w)
+    # NOTE (measured, round 3): the fused-peel variant
+    # (_detection_batch_fused) is NOT auto-selected — in-kernel candidate
+    # extraction lost to the XLA extraction below (det stage 182 vs 121
+    # us/map at 512^2 batch 96: 32 peel rounds of cross-lane max/argmax
+    # reductions cost ~75 us/map, while the XLA extraction + merge it
+    # replaces costs ~30). Kept tested for shapes where a future Mosaic
+    # improves cross-lane reductions.
     nms = jax.vmap(lambda s: _nms_one(s, params))(score_maps)
     nmsb = jax.vmap(lambda m: remove_border(m, params.border_dist))(nms)
     flats = nmsb.reshape(b, h * w)
-    k = min(params.top_k, h * w)
     if _topk_extractable(h * w, k):
         v, i, unsafe = jax.vmap(lambda f: _topk_candidates(f, k))(flats)
         v, i = lax.cond(

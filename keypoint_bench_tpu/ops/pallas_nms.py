@@ -124,6 +124,89 @@ def _nms_kernel(p_ref, out_ref, mask_ref, cnt_ref, *, d: int, max_iter: int,
     lax.fori_loop(0, max_iter, body, 0)
 
 
+def _peel_kernel(p_ref, v_ref, i_ref, *, border: int, per_chunk: int):
+    """Border mask + per-chunk top-candidate extraction on an NMS'd map:
+    the map is border-zeroed (detect.remove_border semantics) and each
+    128-lane chunk's top `per_chunk` values are peeled off by repeated
+    (max, lowest-index argmax, mask) rounds — pure VPU passes on VMEM,
+    replacing the full-map argmax rounds of detect._topk_candidates
+    (~8 HBM passes in XLA). A separate kernel from the fixpoint: fusing
+    both busts the ~16 MB scoped VMEM limit (measured 17.47M), and the
+    extra map round-trip costs only ~2.5 us. Candidates come out as
+    [H, 128] panes (lane blk*per_chunk + j = round-j candidate of column
+    block blk): value desc per chunk, lowest index first on ties —
+    exactly the chunk contract of detect.topk_select with chunk = 128."""
+    h, w = p_ref.shape
+    # The chunk structure matches detect._topk_candidates exactly, so the
+    # unsafe fallback stays as rare as the XLA path's (row-sized chunks
+    # measured tie-unsafe on bf16 sigmoid maps: the 262k fallback sort
+    # fired every batch and cost ~350 us/map). All intermediates keep 2D
+    # [H, 1] shape (keepdims) — 1D [H] values would live on lanes and
+    # every [:, None] broadcast would be a lane->sublane relayout.
+    pane = lax.broadcasted_iota(jnp.int32, (h, 128), 1)
+    ri = lax.broadcasted_iota(jnp.int32, (h, 128), 0)
+    vacc = jnp.zeros((h, 128), jnp.float32)
+    iacc = jnp.zeros((h, 128), jnp.int32)
+    for blk in range(w // 128):
+        li = pane + blk * 128
+        curb = p_ref[:, blk * 128:(blk + 1) * 128]
+        if border > 0:
+            keep = ((ri >= border) & (ri < h - border)
+                    & (li >= border) & (li < w - border))
+            curb = jnp.where(keep, curb, 0.0)
+        for j in range(per_chunk):
+            m = jnp.max(curb, axis=1, keepdims=True)           # [H, 1]
+            idx = jnp.min(jnp.where(curb == m, li, w), axis=1,
+                          keepdims=True)                       # lowest index
+            lane = blk * per_chunk + j
+            vacc = jnp.where(pane == lane, m, vacc)
+            iacc = jnp.where(pane == lane, idx, iacc)
+            curb = jnp.where(li == idx, -jnp.inf, curb)
+    v_ref[...] = vacc
+    i_ref[...] = iacc
+
+
+@functools.partial(jax.jit, static_argnames=("nms_dist", "max_iter",
+                                             "border_dist", "per_chunk",
+                                             "min_value", "interpret"))
+def fast_nms_topk_pallas(probs: jnp.ndarray, nms_dist: int = 4,
+                         max_iter: int = 30, border_dist: int = 8,
+                         per_chunk: int = 8, min_value: float = 0.0,
+                         interpret: bool = False):
+    """Fused fast_nms + remove_border + per-chunk candidate extraction
+    (chunk = 128 consecutive columns of a row; requires w % 128 == 0 and
+    (w // 128) * per_chunk <= 128).
+
+    Returns (nms_map [H, W] in probs' dtype — WITHOUT the border applied,
+    matching fast_nms_pallas so fallbacks recompute from it; vals
+    [H, n_blk*per_chunk] f32; idx [H, n_blk*per_chunk] i32 GLOBAL column
+    indices). Candidates are the border-masked map's per-chunk top values,
+    value-descending with lowest-index-first ties; flat candidate order
+    (row, blk, j) is index-ordered, matching detect._topk_candidates.
+    detect.detection_batch merges them into the exact global top-k with
+    the standard chunk-cutoff safety test."""
+    if nms_dist == 0:
+        raise ValueError("fused topk requires nms_dist > 0")
+    dt = probs.dtype
+    h, w = probs.shape
+    n_blk = w // 128
+    assert w % 128 == 0 and n_blk * per_chunk <= 128, (h, w, per_chunk)
+    # f32 VMEM fixpoint (v5e Mosaic has no 16-bit vector compares — see
+    # fast_nms_pallas); value-exact for bf16 inputs
+    nms = fast_nms_pallas(probs.astype(jnp.float32), nms_dist, max_iter,
+                          min_value, interpret=interpret)
+    peel = functools.partial(_peel_kernel, border=border_dist,
+                             per_chunk=per_chunk)
+    v, i = pl.pallas_call(
+        peel,
+        out_shape=(jax.ShapeDtypeStruct((h, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((h, 128), jnp.int32)),
+        interpret=interpret,
+    )(nms)
+    nc = n_blk * per_chunk
+    return nms.astype(dt), v[:, :nc], i[:, :nc]
+
+
 @functools.partial(jax.jit, static_argnames=("nms_dist", "max_iter",
                                              "min_value", "interpret"))
 def fast_nms_pallas(probs: jnp.ndarray, nms_dist: int = 4, max_iter: int = 30,

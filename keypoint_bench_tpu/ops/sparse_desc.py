@@ -206,20 +206,6 @@ def sample_upsampled(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
     return jnp.einsum("ka,kb,kabc->kc", wr, wc, patch)
 
 
-def _axis_weight_matrix_t(base: jnp.ndarray, w: jnp.ndarray, n: int, dtype):
-    """Transposed scatter of per-point tap weights: [n, K] with
-    W[base[k] + j, k] = w[k, j] — built directly in [n, K] orientation so
-    the Pallas sampler's keypoint-on-lanes layout needs no transpose.
-    Written as a sum of per-tap [n, K] terms (taps <= 4, XLA fuses the
-    whole thing into one pass) instead of an [n, K, taps] select."""
-    rows = jnp.arange(n)[:, None]                             # [n, 1]
-    out = None
-    for j in range(w.shape[1]):
-        term = jnp.where(rows == (base + j)[None, :], w[None, :, j], 0.0)
-        out = term if out is None else out + term
-    return out.astype(dtype)
-
-
 def _pad_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -234,27 +220,6 @@ def _pad_feat_cm(f: jnp.ndarray) -> jnp.ndarray:
         return f
     cfg = [(0, 0)] * (f.ndim - 2) + [(0, hp - h_i), (0, wp - w_i)]
     return jnp.pad(f, cfg)
-
-
-def _cm_tap_weights(px: jnp.ndarray, py: jnp.ndarray, lo_shapes,
-                    h: int, w: int, dt):
-    """Per-map transposed tap-weight matrices for the fused kernel: branch 0
-    uses plain bilinear taps at full res, the rest composite upsample taps.
-    px/py [Kp] pixel coords; lo_shapes: [(h_lo, w_lo), ...] for branches
-    1..n (TRUE feature sizes — the matrices are built at the Mosaic-padded
-    row counts, with all-zero rows over the padding; NCHW: w is the lane
-    dim -> 128, h the sublane dim -> 16). Returns (wrs, wcs) tuples of
-    [h_pad_i, Kp] / [w_pad_i, Kp]."""
-    rb, wr = _axis_taps_direct(py, h)
-    cb, wc = _axis_taps_direct(px, w)
-    wrs = [_axis_weight_matrix_t(rb, wr, _pad_up(h, 16), dt)]
-    wcs = [_axis_weight_matrix_t(cb, wc, _pad_up(w, 128), dt)]
-    for h_lo, w_lo in lo_shapes:
-        rb, wr = _axis_taps_up(py, h, h_lo)
-        cb, wc = _axis_taps_up(px, w, w_lo)
-        wrs.append(_axis_weight_matrix_t(rb, wr, _pad_up(h_lo, 16), dt))
-        wcs.append(_axis_weight_matrix_t(cb, wc, _pad_up(w_lo, 128), dt))
-    return tuple(wrs), tuple(wcs)
 
 
 def _apply_head(params: dict, o: jnp.ndarray) -> jnp.ndarray:
@@ -274,7 +239,8 @@ def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
     """`alike_sparse_descriptors` on CHANNEL-MAJOR branch features
     (a_it [C, H_i, W_i], from models/alike_s2d.alike_s2d_feats_cm), fused
     into one Pallas kernel (ops/pallas_sample.py): the features stay
-    VMEM-resident and no [K, W, C] intermediate touches HBM.
+    VMEM-resident, the interpolation taps are built in-kernel from the
+    raw coordinates, and no [K, W, C] intermediate touches HBM.
 
     kpts [K, >=2] normalized (x, y); returns [K, 64] f32, equal to the mm
     sampler / dense sampling up to float summation order. Falls back to
@@ -294,11 +260,10 @@ def alike_sparse_descriptors_cm(params: dict, feats_t, kpts: jnp.ndarray,
     kp = -(-k // pallas_sample.KT) * pallas_sample.KT
     px = jnp.pad(px, (0, kp - k))
     py = jnp.pad(py, (0, kp - k))
-    wrs, wcs = _cm_tap_weights(px, py,
-                               [(f.shape[1], f.shape[2]) for f in feats_t[1:]],
-                               h, w, feats_t[0].dtype)  # (h_lo, w_lo) per branch
+    lo_shapes = tuple((int(f.shape[1]), int(f.shape[2]))
+                      for f in feats_t[1:])
     padded = tuple(_pad_feat_cm(f) for f in feats_t)
-    o = pallas_sample.fused_samples(padded, wrs, wcs,
+    o = pallas_sample.fused_samples(padded, px, py, h, w, lo_shapes,
                                     interpret=interpret)      # [64, Kp]
     return _apply_head(params, o)[:k]
 
@@ -321,14 +286,138 @@ def alike_sparse_descriptors_cm_batch(params: dict, feats_b,
     kp = -(-k // pallas_sample.KT) * pallas_sample.KT
     px = jnp.pad(kpts_b[:, :, 0] * (w - 1.0), ((0, 0), (0, kp - k)))
     py = jnp.pad(kpts_b[:, :, 1] * (h - 1.0), ((0, 0), (0, kp - k)))
-    lo_shapes = [(f.shape[2], f.shape[3]) for f in feats_b[1:]]
-    dt = feats_b[0].dtype
-    wrs, wcs = jax.vmap(
-        lambda x, y: _cm_tap_weights(x, y, lo_shapes, h, w, dt))(px, py)
+    lo_shapes = tuple((int(f.shape[2]), int(f.shape[3]))
+                      for f in feats_b[1:])
     padded = tuple(_pad_feat_cm(f) for f in feats_b)
-    o = pallas_sample.fused_samples_batch(padded, wrs, wcs,
-                                          interpret=interpret)
-    return _apply_head(params, o)[:, :k]
+    if (_CM_SORTED[0] and
+            pallas_sample.sorted_supported([f[0] for f in feats_b], h)):
+        desc = _cm_sorted_dispatch(params, padded, px, py, h, w, lo_shapes,
+                                   interpret)
+    else:
+        o = pallas_sample.fused_samples_batch(padded, px, py, h, w,
+                                              lo_shapes, interpret=interpret)
+        desc = _apply_head(params, o)
+    return desc[:, :k]
+
+
+# sorted-tile kernel toggle (profiling A/B; the sorted path is the default
+# wherever the kernel applies — tests cover both)
+_CM_SORTED = [True]
+
+
+def set_cm_sorted(on: bool):
+    _CM_SORTED[0] = bool(on)
+
+
+def _cm_sorted_dispatch(params: dict, padded, px: jnp.ndarray,
+                        py: jnp.ndarray, h: int, w: int, lo_shapes,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Band-restricted sampling: sort each map's keypoints by their row-tap
+    base y0, so every KT-tile touches only a ~ROWS0-row band of the
+    features (ops/pallas_sample._sorted_kernel — a ~4x MXU cut vs the
+    full-height one-hot contraction). A single batch-level lax.cond falls
+    back to the full kernel when any tile's span overflows (clustered
+    keypoints). The sort permutation is undone with an exact one-hot row
+    select (matching.take_rows), so results are identical to the full
+    kernel in the original keypoint order."""
+    from keypoint_bench_tpu.ops import pallas_sample
+    from keypoint_bench_tpu.ops.matching import take_rows
+
+    kt, rows0 = pallas_sample.KT, pallas_sample.ROWS0
+    bsz, kp = px.shape
+    t = kp // kt
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    iota = jnp.broadcast_to(jnp.arange(kp, dtype=jnp.int32), (bsz, kp))
+    y0s, pxs, pys, order = jax.vmap(
+        lambda a, b, c, d: lax.sort((a, b, c, d), num_keys=1,
+                                    is_stable=True))(y0, px, py, iota)
+    tiles = y0s.reshape(bsz, t, kt)
+    # starts 8-aligned: Mosaic requires dynamic DMA offsets on the sublane
+    # dim to be divisible by the (8, 128) tiling
+    starts = jnp.minimum((tiles[:, :, 0] // 8) * 8, (h - rows0) // 8 * 8)
+    # coverage: every y0 in [start, start + rows0 - 2] (clamped tiles pass
+    # automatically when h - rows0 is 8-aligned: bound >= h - 2 >= any y0)
+    ok = jnp.all(tiles <= (starts + rows0 - 2)[:, :, None])
+    # pos_of[orig] = position of original keypoint `orig` in sorted order
+    pos_of = jax.vmap(lambda o: lax.sort(
+        (o, lax.iota(jnp.int32, kp)), num_keys=1, is_stable=True)[1])(order)
+
+    def _sorted_branch(_):
+        o = pallas_sample.fused_samples_sorted_batch(
+            padded, pxs, pys, starts, h, w, lo_shapes, rows0=rows0,
+            interpret=interpret)
+        return jax.vmap(take_rows)(_apply_head(params, o), pos_of)
+
+    def _full_branch(_):
+        o = pallas_sample.fused_samples_batch(padded, px, py, h, w,
+                                              lo_shapes, interpret=interpret)
+        return _apply_head(params, o)
+
+    return lax.cond(ok, _sorted_branch, _full_branch, None)
+
+
+def alike_sparse_descriptors_cm_batch_yorder(params: dict, feats_b,
+                                             kpts_b: jnp.ndarray,
+                                             valid_b: jnp.ndarray,
+                                             h: int, w: int,
+                                             interpret: bool = False):
+    """Throughput variant of `alike_sparse_descriptors_cm_batch` that
+    returns (desc [B, K, 64], kpts [B, K, 3], valid [B, K]) with all three
+    row-permuted into the sampler's y-sorted order (consistent across the
+    outputs) — skipping the exact unsort matmul (matching.take_rows,
+    ~25 us/map at K=1000). Mutual-NN matching downstream is permutation-
+    equivariant, so match counts and matched coordinate pairs are
+    identical to the original-order API (tests/test_pallas_sample.py).
+    Falls back to the original-order API (returning inputs unpermuted)
+    when the sorted kernel doesn't apply."""
+    from keypoint_bench_tpu.ops import pallas_sample
+
+    if not (_CM_SORTED[0]
+            and pallas_sample.sorted_supported([f[0] for f in feats_b], h)):
+        desc = alike_sparse_descriptors_cm_batch(params, feats_b, kpts_b,
+                                                 h, w, interpret=interpret)
+        return desc, kpts_b, valid_b
+
+    kt, rows0 = pallas_sample.KT, pallas_sample.ROWS0
+    bsz, k = kpts_b.shape[0], kpts_b.shape[1]
+    kp = -(-k // kt) * kt
+    pad = ((0, 0), (0, kp - k))
+    px = jnp.pad(kpts_b[:, :, 0] * (w - 1.0), pad)
+    py = jnp.pad(kpts_b[:, :, 1] * (h - 1.0), pad)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    slot = jnp.broadcast_to(jnp.arange(kp, dtype=jnp.int32), (bsz, kp))
+    key = jnp.where(slot < k, y0, h)          # pad slots sort LAST
+    ops = (key, px, py,
+           jnp.pad(kpts_b[:, :, 0], pad), jnp.pad(kpts_b[:, :, 1], pad),
+           jnp.pad(kpts_b[:, :, 2], pad),
+           jnp.pad(valid_b.astype(jnp.int32), pad))
+    key_s, pxs, pys, kxs, kys, kss, vs = jax.vmap(
+        lambda *o: lax.sort(o, num_keys=1, is_stable=True))(*ops)
+    t = kp // kt
+    tiles = key_s.reshape(bsz, t, kt)
+    starts = jnp.minimum((tiles[:, :, 0] // 8) * 8, (h - rows0) // 8 * 8)
+    # pads carry key h and dummy (0, 0) coords; their band mismatch yields
+    # zero samples, which the [:k] slice drops — exclude them from the
+    # span check
+    ok = jnp.all((tiles <= (starts + rows0 - 2)[:, :, None])
+                 | (tiles >= h))
+    lo_shapes = tuple((int(f.shape[2]), int(f.shape[3]))
+                      for f in feats_b[1:])
+    padded = tuple(_pad_feat_cm(f) for f in feats_b)
+
+    def _sorted_branch(_):
+        return pallas_sample.fused_samples_sorted_batch(
+            padded, pxs, pys, starts, h, w, lo_shapes, rows0=rows0,
+            interpret=interpret)
+
+    def _full_branch(_):
+        return pallas_sample.fused_samples_batch(
+            padded, pxs, pys, h, w, lo_shapes, interpret=interpret)
+
+    o = lax.cond(ok, _sorted_branch, _full_branch, None)
+    desc = _apply_head(params, o)[:, :k]
+    kpts = jnp.stack([kxs[:, :k], kys[:, :k], kss[:, :k]], axis=-1)
+    return desc, kpts, vs[:, :k].astype(jnp.bool_)
 
 
 def alike_sparse_descriptors(params: dict, feats, kpts: jnp.ndarray,

@@ -87,3 +87,36 @@ def test_fixpoint_parity_bf16_signed():
     b = np.asarray(fast_nms_pallas(p, 4, 30, interpret=True)
                    .astype(jnp.float32))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_topk_detection_batch_parity():
+    """_detection_batch_fused (NMS + border + per-row peel in-kernel, row-
+    chunk merge in XLA) == the unfused detection_batch path, all keys."""
+    from keypoint_bench_tpu.ops.detect import (DetectParams,
+                                               _detection_batch_fused,
+                                               detection_batch)
+    rng = np.random.default_rng(11)
+    maps = jnp.asarray(_smooth(rng.random((3, 64, 128)).astype(np.float32),
+                               2.0))
+    dp = DetectParams(nms_dist=4, border_dist=8, top_k=100)
+    k_ref, v_ref = detection_batch(maps, dp)
+    k_got, v_got = _detection_batch_fused(maps, dp, interpret=True)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+
+
+def test_fused_topk_tie_heavy_bf16():
+    """bf16 sigmoid-like score maps collapse into few distinct values —
+    the peel's lowest-index tie order and the unsafe-row fallback must
+    keep the fused path exact."""
+    from keypoint_bench_tpu.ops.detect import (DetectParams,
+                                               _detection_batch_fused,
+                                               detection_batch)
+    rng = np.random.default_rng(12)
+    base = _smooth(rng.random((2, 64, 128)).astype(np.float32), 1.0)
+    maps = jnp.asarray(base, jnp.bfloat16)
+    dp = DetectParams(nms_dist=2, border_dist=4, top_k=200)
+    k_ref, v_ref = detection_batch(maps, dp)
+    k_got, v_got = _detection_batch_fused(maps, dp, interpret=True)
+    np.testing.assert_allclose(np.asarray(k_got), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))

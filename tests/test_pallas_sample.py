@@ -18,49 +18,32 @@ from keypoint_bench_tpu.ops.grid_sample import sample_at_points
 from keypoint_bench_tpu.ops.pallas_sample import fused_samples, supported
 from keypoint_bench_tpu.ops.sparse_desc import (alike_sparse_descriptors,
                                                 alike_sparse_descriptors_cm,
-                                                _axis_taps_direct,
-                                                _axis_taps_up,
-                                                _axis_weight_matrix,
-                                                _axis_weight_matrix_t,
                                                 sample_direct,
                                                 sample_upsampled)
 
 
-def test_weight_matrix_t_is_transpose():
-    rng = np.random.default_rng(0)
-    py = jnp.asarray(rng.uniform(0, 62.9, 40), jnp.float32)
-    base, w = _axis_taps_up(py, 64, 16)
-    a = _axis_weight_matrix(base, w, 16, jnp.float32)
-    b = _axis_weight_matrix_t(base, w, 16, jnp.float32)
-    np.testing.assert_allclose(np.asarray(b), np.asarray(a).T, atol=0)
-
-
-def test_fused_samples_single_branch_exact_f32():
-    """Kernel vs the gather sampler on one odd-shaped branch (non-tile
-    shapes exercise Mosaic's padding semantics in interpret mode)."""
+def test_fused_samples_direct_exact_f32():
+    """Kernel's in-register direct bilinear taps vs the gather sampler on
+    one full-res branch with odd (non-tile) shapes."""
     rng = np.random.default_rng(1)
-    h_lo, w_lo, ch = 12, 20, 5
-    h_hi, w_hi = 96, 160
-    feat = jnp.asarray(rng.random((h_lo, w_lo, ch), np.float32))
+    h, w, ch = 96, 160, 5
+    feat = jnp.asarray(rng.random((h, w, ch), np.float32))
     k, kp = 50, 128
-    px = jnp.asarray(rng.uniform(0, w_hi - 1.001, k), jnp.float32)
-    py = jnp.asarray(rng.uniform(0, h_hi - 1.001, k), jnp.float32)
-    ref = sample_upsampled(feat, px, py, h_hi, w_hi)          # gather, f32
+    px = jnp.asarray(rng.uniform(0, w - 1.001, k), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, h - 1.001, k), jnp.float32)
+    ref = sample_direct(feat, px, py)                         # gather, f32
 
     pxp = jnp.pad(px, (0, kp - k))
     pyp = jnp.pad(py, (0, kp - k))
-    rb, wr = _axis_taps_up(pyp, h_hi, h_lo)
-    cb, wc = _axis_taps_up(pxp, w_hi, w_lo)
-    wrt = _axis_weight_matrix_t(rb, wr, h_lo, jnp.float32)
-    wct = _axis_weight_matrix_t(cb, wc, w_lo, jnp.float32)
     ft = jnp.transpose(feat, (2, 0, 1))                       # [C, h, w]
-    out = fused_samples((ft,), (wrt,), (wct,), interpret=True)
+    out = fused_samples((ft,), pxp, pyp, h, w, (), interpret=True)
     np.testing.assert_allclose(np.asarray(out[:, :k]).T, np.asarray(ref),
                                atol=1e-5)
 
 
 def test_fused_samples_multi_branch_exact_f32():
-    """Four branches in one kernel == per-branch XLA sampling."""
+    """Four branches in one kernel (in-kernel direct + composite upsample
+    taps) == per-branch XLA sampling."""
     rng = np.random.default_rng(2)
     h, w = 128, 160
     shapes = [(128, 160), (64, 80), (16, 20), (4, 5)]
@@ -73,20 +56,10 @@ def test_fused_samples_multi_branch_exact_f32():
         sample_upsampled(f, px, py, h, w) for f in feats[1:]]
 
     pxp, pyp = jnp.pad(px, (0, kp - k)), jnp.pad(py, (0, kp - k))
-    wrts, wcts = [], []
-    rb, wr = _axis_taps_direct(pyp, h)
-    cb, wc = _axis_taps_direct(pxp, w)
-    wrts.append(_axis_weight_matrix_t(rb, wr, h, jnp.float32))
-    wcts.append(_axis_weight_matrix_t(cb, wc, w, jnp.float32))
-    for hl, wl in shapes[1:]:
-        rb, wr = _axis_taps_up(pyp, h, hl)
-        cb, wc = _axis_taps_up(pxp, w, wl)
-        wrts.append(_axis_weight_matrix_t(rb, wr, hl, jnp.float32))
-        wcts.append(_axis_weight_matrix_t(cb, wc, wl, jnp.float32))
     fts = tuple(jnp.transpose(f, (2, 0, 1)) for f in feats)
     assert supported(fts)
-    out = np.asarray(fused_samples(fts, tuple(wrts), tuple(wcts),
-                                   interpret=True))
+    out = np.asarray(fused_samples(fts, pxp, pyp, h, w,
+                                   tuple(shapes[1:]), interpret=True))
     for i, ref in enumerate(refs):
         np.testing.assert_allclose(out[16 * i:16 * (i + 1), :k].T,
                                    np.asarray(ref), atol=1e-5,
@@ -208,3 +181,120 @@ def test_cm_fallback_on_tiny_maps():
     got = alike_sparse_descriptors_cm(params, [f[0] for f in feats_cm],
                                       kpts, 64, 64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_cm_sorted_matches_full_kernel():
+    """Band-restricted sorted-tile kernel (+ sort/unsort plumbing) == full
+    kernel == dense sampling, original keypoint order."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        from keypoint_bench_tpu.ops.sparse_desc import (
+            alike_sparse_descriptors_cm_batch, set_cm_sorted)
+        from keypoint_bench_tpu.ops import pallas_sample
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(13)
+        # tall enough for sorted_supported (h >= ROWS0) on the CPU mesh:
+        # shrink ROWS0 for the test instead of paying a 128-row forward
+        old_rows0 = pallas_sample.ROWS0
+        pallas_sample.ROWS0 = 32
+        imgs = jnp.asarray(rng.random((2, 128, 160, 3), np.float32))
+        h, w = 128, 160
+        dp = DetectParams(nms_dist=4, border_dist=8, top_k=200)
+        score, feats_cm = alike_s2d_feats_cm(params, imgs)
+        kpts = jnp.stack([detection(score[i], dp)[0] for i in range(2)])
+        set_cm_sorted(False)
+        want = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        set_cm_sorted(True)
+        got = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+    finally:
+        pallas_sample.ROWS0 = old_rows0
+        set_cm_sorted(True)
+        set_conv_precision(None)
+
+
+def test_cm_sorted_overflow_falls_back():
+    """Keypoints clustered into one band overflow a sorted tile's span —
+    the batch-level cond must take the full kernel and stay exact."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        from keypoint_bench_tpu.ops.sparse_desc import (
+            alike_sparse_descriptors_cm_batch, set_cm_sorted)
+        from keypoint_bench_tpu.ops import pallas_sample
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(14)
+        old_rows0 = pallas_sample.ROWS0
+        pallas_sample.ROWS0 = 32
+        imgs = jnp.asarray(rng.random((1, 128, 160, 3), np.float32))
+        h, w = 128, 160
+        _, feats_cm = alike_s2d_feats_cm(params, imgs)
+        # 200 keypoints spread over the FULL height: tiles of 128 sorted
+        # keypoints span ~64 rows > ROWS0-2=30 -> overflow -> fallback
+        k = 200
+        kx = rng.uniform(0.1, 0.9, k).astype(np.float32)
+        ky = np.linspace(0.05, 0.95, k).astype(np.float32)
+        kpts = jnp.asarray(np.stack([kx, ky, np.ones(k, np.float32)],
+                                    axis=-1))[None]
+        set_cm_sorted(False)
+        want = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        set_cm_sorted(True)
+        got = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+    finally:
+        pallas_sample.ROWS0 = old_rows0
+        set_cm_sorted(True)
+        set_conv_precision(None)
+
+
+def test_yorder_equivalent_to_original_order():
+    """The y-ordered sampler API returns the same (kpt, desc, valid) rows
+    as the original-order API, consistently permuted — verified by exact
+    lexicographic row-set equality and by identical mutual-NN match sets."""
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        from keypoint_bench_tpu.ops.sparse_desc import (
+            alike_sparse_descriptors_cm_batch,
+            alike_sparse_descriptors_cm_batch_yorder)
+        from keypoint_bench_tpu.ops import pallas_sample
+        params = transform_params_s2d(__import__(
+            "keypoint_bench_tpu.weights", fromlist=["load_params"]
+        ).load_params("Alike"))
+        rng = np.random.default_rng(15)
+        old_rows0 = pallas_sample.ROWS0
+        pallas_sample.ROWS0 = 32
+        imgs = jnp.asarray(rng.random((2, 128, 160, 3), np.float32))
+        h, w = 128, 160
+        dp = DetectParams(nms_dist=4, border_dist=8, top_k=150)
+        score, feats_cm = alike_s2d_feats_cm(params, imgs)
+        det = [detection(score[i], dp) for i in range(2)]
+        kpts = jnp.stack([d[0] for d in det])
+        valid = jnp.stack([d[1] for d in det])
+
+        d_ref = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats_cm), kpts, h, w, interpret=True)
+        d_y, k_y, v_y = alike_sparse_descriptors_cm_batch_yorder(
+            params, tuple(feats_cm), kpts, valid, h, w, interpret=True)
+
+        for i in range(2):
+            a = np.concatenate([np.asarray(kpts[i]),
+                                np.asarray(valid[i], np.float32)[:, None],
+                                np.asarray(d_ref[i])], axis=1)
+            b = np.concatenate([np.asarray(k_y[i]),
+                                np.asarray(v_y[i], np.float32)[:, None],
+                                np.asarray(d_y[i])], axis=1)
+            a = a[np.lexsort(a.T[::-1])]
+            b = b[np.lexsort(b.T[::-1])]
+            np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f"map {i}")
+    finally:
+        pallas_sample.ROWS0 = old_rows0
+        set_conv_precision(None)

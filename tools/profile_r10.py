@@ -55,21 +55,6 @@ def make_prefixes(cm: bool):
                 params, (a, b, c, d), kk, SIZE, SIZE))(
             *[x[:, 0] for x in fs], k)
 
-    def taps_only(fs, kk):
-        feats_b = tuple(x[:, 0] for x in fs)
-        k = kk.shape[1]
-        kp = -(-k // 128) * 128
-        px = jnp.pad(kk[:, :, 0] * (SIZE - 1.0), ((0, 0), (0, kp - k)))
-        py = jnp.pad(kk[:, :, 1] * (SIZE - 1.0), ((0, 0), (0, kp - k)))
-        lo = [(f.shape[2], f.shape[3]) for f in feats_b[1:]]
-        return jax.vmap(lambda x, y: sd._cm_tap_weights(
-            x, y, lo, SIZE, SIZE, feats_b[0].dtype))(px, py)
-
-    def p_taps(imgs0, imgs1):
-        f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
-        return (k0, v0, k1, v1, taps_only(f0, k0), taps_only(f1, k1),
-                f0, f1)
-
     def p_samp(imgs0, imgs1):
         f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
         return k0, v0, k1, v1, samp(f0, k0), samp(f1, k1)
@@ -83,9 +68,6 @@ def make_prefixes(cm: bool):
         m1 = jax.vmap(take_rows)(k1, nn01)
         return jnp.sum(ok), k0, m1
 
-    if cm:
-        return [("fwd", p_fwd), ("det", p_det), ("taps", p_taps),
-                ("samp", p_samp), ("full", full)]
     return [("fwd", p_fwd), ("det", p_det), ("samp", p_samp),
             ("full", full)]
 
@@ -110,6 +92,8 @@ def main():
     n_maps = 2.0 * BATCH
 
     import os as _os
+    from keypoint_bench_tpu.models.alike_s2d import set_cm_branch_impl
+    set_cm_branch_impl(_os.environ.get("R10_CM_IMPL", "permute"))
     sel = _os.environ.get("R10_PIPELINES", "01")
     for cm in [c == "1" for c in sel]:
         name = "cm" if cm else "mm"
