@@ -73,6 +73,10 @@ def main():
         cm = (os.environ.get("KBT_BENCH_CM", "1") == "1"
               and jax.default_backend() == "tpu")
         fwd_feats = alike_s2d_feats_cm if cm else alike_s2d_feats
+        if cm and "KBT_BENCH_CM_IMPL" in os.environ:
+            from keypoint_bench_tpu.models.alike_s2d import \
+                set_cm_branch_impl
+            set_cm_branch_impl(os.environ["KBT_BENCH_CM_IMPL"])
 
         # batch-level step (not a vmapped pair step): detection_batch keeps
         # the rare exact-top-k fallback behind ONE batch-level predicate —
@@ -80,17 +84,17 @@ def main():
         # Built as cumulative prefixes so KBT_BENCH_STAGES=1 can report
         # honest in-graph marginal stage costs (standalone per-stage jits
         # are unreliable through the dispatch tunnel, PERF.md round-2b).
+        # natively batched forward: vmap of a batch-1 call measured 244 vs
+        # 184 us/map batched (tools/profile_r11.py, round 3)
         def p_fwd(imgs0, imgs1):
-            s0, f0 = jax.vmap(
-                lambda im: fwd_feats(params, im[None]))(imgs0)
-            s1, f1 = jax.vmap(
-                lambda im: fwd_feats(params, im[None]))(imgs1)
+            s0, f0 = fwd_feats(params, imgs0)
+            s1, f1 = fwd_feats(params, imgs1)
             return s0, f0, s1, f1
 
         def p_det(imgs0, imgs1):
             s0, f0, s1, f1 = p_fwd(imgs0, imgs1)
-            k0, v0 = detection_batch(s0[:, 0, :, :, 0], dp)
-            k1, v1 = detection_batch(s1[:, 0, :, :, 0], dp)
+            k0, v0 = detection_batch(s0[..., 0], dp)
+            k1, v1 = detection_batch(s1[..., 0], dp)
             return f0, f1, k0, v0, k1, v1
 
         if cm:
@@ -101,9 +105,9 @@ def main():
             def p_samp(imgs0, imgs1):
                 f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
                 d0, k0, v0 = alike_sparse_descriptors_cm_batch_yorder(
-                    params, tuple(x[:, 0] for x in f0), k0, v0, size, size)
+                    params, tuple(f0), k0, v0, size, size)
                 d1, k1, v1 = alike_sparse_descriptors_cm_batch_yorder(
-                    params, tuple(x[:, 0] for x in f1), k1, v1, size, size)
+                    params, tuple(f1), k1, v1, size, size)
                 return k0, v0, k1, v1, d0, d1
         else:
             sample = jax.vmap(
@@ -112,8 +116,8 @@ def main():
 
             def p_samp(imgs0, imgs1):
                 f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
-                d0 = sample(*[x[:, 0] for x in f0], k0)
-                d1 = sample(*[x[:, 0] for x in f1], k1)
+                d0 = sample(*f0, k0)
+                d1 = sample(*f1, k1)
                 return k0, v0, k1, v1, d0, d1
 
         def batch_step(imgs0, imgs1):
@@ -142,8 +146,9 @@ def main():
         step = jax.jit(jax.vmap(pair_step))
         prefixes = []
 
-    # sweet spot: 4 for the reference layout (HBM working set); the fast
-    # layout keeps scaling with batch (PERF.md batch sweeps)
+    # sweet spot: 4 for the reference layout (HBM working set); 96 for the
+    # round-3 cm pipeline (2567 fps; 128 measured 2049 on the permute
+    # variant but its compile risks the driver's 580s budget)
     default_batch = "96" if model_name == "Alike_s2d" else "4"
     batch = int(os.environ.get("KBT_BENCH_BATCH", default_batch))
 

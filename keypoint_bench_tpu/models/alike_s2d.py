@@ -402,7 +402,10 @@ def _score_proj_blk(ab: jnp.ndarray, b: int, wh_col: jnp.ndarray, hp):
 #              with one-hot block taps, the 1x1 branch head folds into its
 #              weights, and dimension_numbers emit NCHW directly (no
 #              explicit relayout at all). Exact math either way.
-_CM_BRANCH_IMPL = ["permute"]
+# Default "dilated": measured 2238 vs 2005 fps end-to-end at 512^2 batch 96
+# (tools/profile_r10.py, round 3) — the conv-emitted NCHW features both
+# skip the big permute and DMA better in the sampler kernel.
+_CM_BRANCH_IMPL = ["dilated"]
 
 
 def set_cm_branch_impl(impl: str):
@@ -425,10 +428,12 @@ def _branch_cm_dilated(xb: jnp.ndarray, w1: jnp.ndarray, bias, b: int,
         for bp in range(b):
             q0 = ((b - 1 - a) * b + (b - 1 - bp)) * ci
             k = k.at[a, bp, q0:q0 + ci, :].set(w1)
+    k = cast(k)
+    xb = xb.astype(k.dtype)     # bn_eval promotes bf16 trunks to f32
     dn = jax.lax.conv_dimension_numbers(xb.shape, k.shape,
                                         ("NHWC", "HWIO", "NCHW"))
     out = jax.lax.conv_general_dilated(
-        xb, cast(k), (1, 1), ((b - 1, b - 1), (b - 1, b - 1)),
+        xb, k, (1, 1), ((b - 1, b - 1), (b - 1, b - 1)),
         lhs_dilation=(b, b), dimension_numbers=dn,
         precision=c._CONV_PRECISION[0],
         preferred_element_type=jnp.bfloat16 if xb.dtype == jnp.bfloat16

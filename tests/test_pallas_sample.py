@@ -143,16 +143,18 @@ def test_cm_batch_matches_per_map():
 def test_feats_cm_dilated_matches_permute():
     """The lhs-dilated-conv branch path (depth-to-space as a one-hot-tap
     conv with the 1x1 head folded in) == the permute path, f32-exact."""
-    from keypoint_bench_tpu.models.alike_s2d import set_cm_branch_impl
+    from keypoint_bench_tpu.models import alike_s2d as a2
     set_conv_precision(jax.lax.Precision.HIGHEST)
+    old_impl = a2._CM_BRANCH_IMPL[0]
     try:
         params = transform_params_s2d(__import__(
             "keypoint_bench_tpu.weights", fromlist=["load_params"]
         ).load_params("Alike"))
         rng = np.random.default_rng(9)
         img = jnp.asarray(rng.random((2, 128, 160, 3), np.float32))
+        a2.set_cm_branch_impl("permute")
         score_p, feats_p = alike_s2d_feats_cm(params, img)
-        set_cm_branch_impl("dilated")
+        a2.set_cm_branch_impl("dilated")
         score_d, feats_d = alike_s2d_feats_cm(params, img)
         np.testing.assert_allclose(np.asarray(score_d), np.asarray(score_p),
                                    atol=1e-5)
@@ -160,7 +162,7 @@ def test_feats_cm_dilated_matches_permute():
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-5, err_msg=f"branch {i}")
     finally:
-        set_cm_branch_impl("permute")
+        a2.set_cm_branch_impl(old_impl)
         set_conv_precision(None)
 
 

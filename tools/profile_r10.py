@@ -36,24 +36,23 @@ def make_prefixes(cm: bool):
     fwd = alike_s2d_feats_cm if cm else alike_s2d_feats
 
     def p_fwd(imgs0, imgs1):
-        s0, f0 = jax.vmap(lambda im: fwd(params, im[None]))(imgs0)
-        s1, f1 = jax.vmap(lambda im: fwd(params, im[None]))(imgs1)
+        s0, f0 = fwd(params, imgs0)
+        s1, f1 = fwd(params, imgs1)
         return s0, f0, s1, f1
 
     def p_det(imgs0, imgs1):
         s0, f0, s1, f1 = p_fwd(imgs0, imgs1)
-        k0, v0 = detection_batch(s0[:, 0, :, :, 0], dp)
-        k1, v1 = detection_batch(s1[:, 0, :, :, 0], dp)
+        k0, v0 = detection_batch(s0[..., 0], dp)
+        k1, v1 = detection_batch(s1[..., 0], dp)
         return f0, f1, k0, v0, k1, v1
 
     def samp(fs, k):
         if cm:
             return sd.alike_sparse_descriptors_cm_batch(
-                params, tuple(x[:, 0] for x in fs), k, SIZE, SIZE)
+                params, tuple(fs), k, SIZE, SIZE)
         return jax.vmap(
             lambda a, b, c, d, kk: sd.alike_sparse_descriptors(
-                params, (a, b, c, d), kk, SIZE, SIZE))(
-            *[x[:, 0] for x in fs], k)
+                params, (a, b, c, d), kk, SIZE, SIZE))(*fs, k)
 
     def p_samp(imgs0, imgs1):
         f0, f1, k0, v0, k1, v1 = p_det(imgs0, imgs1)
