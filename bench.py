@@ -22,6 +22,16 @@ on achieved-bandwidth utilization since cost analysis counts pre-fusion
 operand bytes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sol_pct"}.
+
+Extra env-gated modes (round-3 verdict item 5 — perf numbers for the other
+BASELINE.json pipelines; each prints its own single JSON line):
+  KBT_BENCH_MODE=lightglue  LightGlue matching e2e (9-layer transformer,
+                            fused Pallas attention auto-selected at K>=2k)
+                            at K in KBT_BENCH_K (default "1000,4096").
+  KBT_BENCH_MODE=lk_fund    The LK-tracking fundamental pipeline: ALIKE-t
+                            forward x2 + detection + 3-level 40-iter
+                            pyramidal LK at the reference protocol
+                            (win 21, distance 10) + epipolar metrics.
 """
 import json
 import os
@@ -33,8 +43,140 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _V5E_HBM_BYTES_PER_S = 819e9
 
 
+def bench_lightglue():
+    """LightGlue matching pairs/s on one chip at K=1000 / 4096 (golden
+    randomized superpoint-schema weights; throughput is weight-value
+    independent). Reference protocol: models/lightglue.py:447-477."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from keypoint_bench_tpu.models.lightglue import lightglue_forward
+
+    g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "golden", "lightglue.npz"))
+    params = {k[len("param:"):]: jnp.asarray(g[k])
+              for k in g.files if k.startswith("param:")}
+    dim = int(params["input_proj.weight"].shape[0]) \
+        if "input_proj.weight" in params else 256
+    ks = [int(k) for k in
+          os.environ.get("KBT_BENCH_K", "1000,4096").split(",")]
+    batch = int(os.environ.get("KBT_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("KBT_BENCH_ITERS", "10"))
+    out = {"metric": "lightglue_match_pairs_per_s_per_chip",
+           "unit": "pairs/s", "batch": batch}
+    rng = np.random.default_rng(0)
+    for k in ks:
+        kp0 = jnp.asarray(rng.uniform(0, 511, (batch, k, 2)), jnp.float32)
+        kp1 = jnp.asarray(rng.uniform(0, 511, (batch, k, 2)), jnp.float32)
+        d0 = jnp.asarray(rng.normal(0, 1, (batch, k, dim)), jnp.float32)
+        d1 = jnp.asarray(rng.normal(0, 1, (batch, k, dim)), jnp.float32)
+        v = jnp.ones((batch, k), bool)
+        step = jax.jit(jax.vmap(
+            lambda a, va, da, b, vb, db: lightglue_forward(
+                params, a, va, da, b, vb, db)))
+        r = step(kp0, v, d0, kp1, v, d1)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step(kp0, v, d0, kp1, v, d1)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / iters
+        out[f"pairs_per_s_k{k}"] = round(batch / dt, 2)
+        out[f"us_per_pair_k{k}"] = round(dt / batch * 1e6, 1)
+    out["value"] = out[f"pairs_per_s_k{ks[0]}"]
+    print(json.dumps(out))
+
+
+def bench_lk_fund():
+    """The LK fundamental pipeline frames/s on one chip: ALIKE-t forward
+    x2 + fixpoint-NMS detection + pyramidal LK (reference protocol
+    win 21 / levels 3 / iters 40 / distance 10, utils/matcher.py:7-142) +
+    epipolar metrics vs a GT F. Reference chain: tasks/FundamentalMatrix.py
+    + config_fund.yaml."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from keypoint_bench_tpu.models import get_model
+    from keypoint_bench_tpu.models.common import cast_params_bf16
+    from keypoint_bench_tpu.ops.detect import DetectParams, detection_batch
+    from keypoint_bench_tpu.ops.lk import LKParams, optical_flow
+    from keypoint_bench_tpu.tasks.fundamental import fundamental_metrics
+    from keypoint_bench_tpu.weights import load_params
+
+    model_fn = get_model("Alike_s2d")
+    params = load_params("Alike_s2d")
+    if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
+        params = cast_params_bf16(params)
+    dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)
+    lk = LKParams(distance=10.0, win_size=21, levels=3, iterations=40)
+    size = int(os.environ.get("KBT_BENCH_SIZE", "512"))
+    batch = int(os.environ.get("KBT_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("KBT_BENCH_ITERS", "5"))
+
+    def step(imgs0, imgs1, Fs, keys):
+        s0, _ = model_fn(params, imgs0)
+        k0, v0 = detection_batch(s0[..., 0], dp)
+        tracked, _ = jax.vmap(
+            lambda i0, i1, kk, key: optical_flow(
+                i0, i1, kk[:, 0:2], kk[:, 0:2], key, lk))(
+            imgs0, imgs1, k0, keys)
+        scale = jnp.asarray([size - 1.0, size - 1.0])
+        out = jax.vmap(
+            lambda kk, tr, vv, F: fundamental_metrics(
+                kk[:, 0:2] * scale, tr * scale, vv, F))(
+            k0, tracked, v0, Fs)
+        return out["fundamental_error"], out["fundamental_radio"]
+
+    from keypoint_bench_tpu.datasets.synthetic import _texture
+    rng = np.random.default_rng(0)
+    imgs0 = jnp.asarray(np.stack([_texture(size, size, rng)
+                                  for _ in range(batch)]))
+    imgs1 = jnp.asarray(np.stack([_texture(size, size, rng)
+                                  for _ in range(batch)]))
+    Fs = jnp.tile(jnp.asarray(np.array(
+        [[0, -1e-4, 0.01], [1e-4, 0, -0.01], [-0.01, 0.01, 1.0]],
+        np.float32))[None], (batch, 1, 1))
+    keys = jax.random.split(jax.random.key(0), batch)
+    stepj = jax.jit(step)
+    r = stepj(imgs0, imgs1, Fs, keys)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = stepj(imgs0, imgs1, Fs, keys)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "lk_fundamental_frames_per_s_per_chip",
+        "value": round(batch / dt, 2), "unit": "frames/s",
+        "batch": batch, "us_per_frame": round(dt / batch * 1e6, 1)}))
+
+
 def main():
     import jax
+
+    # persistent compilation cache: full-model TPU jits cost 40-60s through
+    # the remote compile helper, and a cold batch-128 compile once blew the
+    # 580s driver budget (PERF.md round 3). With the cache, cold-start is a
+    # one-time cost per (shape, config). KBT_COMPILE_CACHE= disables.
+    cache_dir = os.environ.get(
+        "KBT_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass
+
+    mode = os.environ.get("KBT_BENCH_MODE", "extract_match")
+    if mode == "lightglue":
+        return bench_lightglue()
+    if mode == "lk_fund":
+        return bench_lk_fund()
+
     import jax.numpy as jnp
     import numpy as np
 

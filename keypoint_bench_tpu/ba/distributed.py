@@ -5,7 +5,13 @@ axis; each shard builds its local H_pp / W / Schur contributions, the reduced
 6Cx6C camera system is psum-reduced over ICI, every shard solves it
 redundantly (C is a keyframe window — tiny), and point back-substitution is
 shard-local. This is the textbook distributed Schur reduction (SURVEY.md §5.7
-north star) expressed as a shard_map with one psum pair per GN iteration.
+north star) expressed as a shard_map with one psum group per GN iteration.
+
+Round 4: the solver gained the single-chip ba_solve's robustness features —
+Huber reweighting and Levenberg-Marquardt accept/reject with adaptive
+lambda (the global robust cost is one extra scalar psum per iteration) — so
+the VO windowed-BA path can refine on a mesh with the same semantics as
+`ba/gauss_newton.ba_solve` (tasks/vo_ba.refine_window(mesh=...)).
 """
 from __future__ import annotations
 
@@ -16,7 +22,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from keypoint_bench_tpu.ba.gauss_newton import (BAProblem, _residual_and_jac,
-                                                _exp_so3, _mm)
+                                                _exp_so3, _mm, _project)
 
 _HPP = jax.lax.Precision.HIGHEST
 
@@ -70,8 +76,11 @@ def gather_points(s_points, meta, n_points: int):
 
 
 def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
-                         damping: float = 1e-4, fix_first_cam: bool = True):
-    """Distributed GN/Schur BA. Returns (R, t, sharded_points, meta)."""
+                         damping: float = 1e-4, fix_first_cam: bool = True,
+                         huber_delta: float = 0.0):
+    """Distributed GN/Schur BA with optional Huber robustness and LM
+    accept/reject (same update semantics as ba_solve; float summation order
+    differs across shards). Returns (R, t, sharded_points, meta)."""
     n_shards = mesh.shape[_AXIS]
     C = prob.R.shape[0]
     (s_pts, s_cam, s_pt, s_uv, s_mask), meta = partition_problem(prob,
@@ -84,11 +93,26 @@ def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
         pts, cam_i, pt_i, uv, m = (pts[0], cam_i[0], pt_i[0], uv[0], m[0])
         wm = m.astype(jnp.float32)
 
+        def local_cost(R, t, pts):
+            """Shard-local robust cost (psum'd by the caller)."""
+            def one(ci, pi, uvo, w):
+                Xc = _mm(R[ci], pts[pi]) + t[ci]
+                rn = jnp.linalg.norm(_project(K, Xc) - uvo)
+                if huber_delta > 0:
+                    return w * jnp.where(
+                        rn <= huber_delta, 0.5 * rn * rn,
+                        huber_delta * (rn - 0.5 * huber_delta))
+                return w * 0.5 * rn * rn
+            return jnp.sum(jax.vmap(one)(cam_i, pt_i, uv, wm))
+
         def iteration(state, _):
-            R, t, pts = state
+            R, t, pts, lam = state
 
             def per_obs(ci, pi, uvo, w):
                 r, Jc, Jp = _residual_and_jac(K, R[ci], t[ci], pts[pi], uvo)
+                if huber_delta > 0:
+                    rn = jnp.linalg.norm(r) + 1e-12
+                    w = w * jnp.sqrt(jnp.minimum(1.0, huber_delta / rn))
                 r, Jc, Jp = r * w, Jc * w, Jp * w
                 return (_mm(Jc.T, Jc), _mm(Jp.T, Jp), _mm(Jc.T, Jp),
                         _mm(Jc.T, r[:, None])[:, 0],
@@ -99,7 +123,7 @@ def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
 
             Hcc_l = jax.ops.segment_sum(JcTJc, cam_i, C)
             Hpp = jax.ops.segment_sum(JpTJp, pt_i, p_local) \
-                + damping * jnp.eye(3)[None]
+                + lam * jnp.eye(3)[None]
             bc_l = -jax.ops.segment_sum(bc_o, cam_i, C)
             bp = -jax.ops.segment_sum(bp_o, pt_i, p_local)
             Hpp_inv = jnp.linalg.inv(Hpp)
@@ -111,8 +135,8 @@ def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
             S_l = jnp.einsum("pcik,pdlk->cdil", WH, W, precision=_HPP)
             rhs_l = bc_l - jnp.einsum("pcik,pk->ci", WH, bp, precision=_HPP)
 
-            # the one collective pair: reduce camera system over shards
-            Hcc = jax.lax.psum(Hcc_l, _AXIS) + damping * jnp.eye(6)[None]
+            # the one collective group: reduce camera system over shards
+            Hcc = jax.lax.psum(Hcc_l, _AXIS) + lam * jnp.eye(6)[None]
             S_cross = jax.lax.psum(S_l, _AXIS)
             rhs = jax.lax.psum(rhs_l, _AXIS)
 
@@ -136,10 +160,23 @@ def ba_solve_distributed(mesh, prob: BAProblem, iters: int = 10,
                 return _mm(Rot, Rc), _mm(Rot, tc[:, None])[:, 0] + d[0:3]
 
             Rn, tn = jax.vmap(upd)(R, t, dx)
-            return (Rn, tn, pts + dp), None
+            ptsn = pts + dp
 
-        (Rf, tf, pf), _ = jax.lax.scan(iteration, (R, t, pts), None,
-                                       length=iters)
+            # LM accept/reject on the GLOBAL robust cost (scalar psums);
+            # cameras are replicated, so `accept` agrees on every shard
+            c_old = jax.lax.psum(local_cost(R, t, pts), _AXIS)
+            c_new = jax.lax.psum(local_cost(Rn, tn, ptsn), _AXIS)
+            accept = jnp.isfinite(c_new) & (c_new < c_old)
+            R, t, pts = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old),
+                (Rn, tn, ptsn), (R, t, pts))
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0),
+                           1e-6, 1e6)
+            return (R, t, pts, lam), None
+
+        (Rf, tf, pf, _), _ = jax.lax.scan(
+            iteration, (R, t, pts, jnp.asarray(damping, jnp.float32)), None,
+            length=iters)
         return Rf, tf, pf[None]
 
     mapped = shard_map(

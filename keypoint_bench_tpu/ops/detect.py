@@ -394,6 +394,12 @@ def _detection_batch_fused(score_maps: jnp.ndarray, params: DetectParams,
     b, h, w = score_maps.shape
     k = min(params.top_k, h * w)
     nc = (w // 128) * per_chunk
+    if k > h * nc:
+        # not enough peeled candidates to cover k (small maps / large
+        # top_k): the [:k] merge slices would clamp and the lax.cond
+        # branches would disagree on shapes at trace time — mirror the
+        # unfused path's _topk_extractable guard and fall back to it
+        return detection_batch(score_maps, params)
     nms, v, i = jax.vmap(lambda s: pallas_nms.fast_nms_topk_pallas(
         s, params.nms_dist, params.max_nms_iter, params.border_dist,
         per_chunk, interpret=interpret))(score_maps)

@@ -190,7 +190,12 @@ def fast_nms_topk_pallas(probs: jnp.ndarray, nms_dist: int = 4,
     dt = probs.dtype
     h, w = probs.shape
     n_blk = w // 128
-    assert w % 128 == 0 and n_blk * per_chunk <= 128, (h, w, per_chunk)
+    # shape preconditions raise (not assert — asserts vanish under -O and
+    # would let the peel kernel mis-index)
+    if w % 128 != 0 or n_blk * per_chunk > 128:
+        raise ValueError(
+            f"fused topk requires w % 128 == 0 and (w // 128) * per_chunk "
+            f"<= 128; got h={h}, w={w}, per_chunk={per_chunk}")
     # f32 VMEM fixpoint (v5e Mosaic has no 16-bit vector compares — see
     # fast_nms_pallas); value-exact for bf16 inputs
     nms = fast_nms_pallas(probs.astype(jnp.float32), nms_dist, max_iter,

@@ -412,5 +412,10 @@ def fused_samples_sorted_batch(feats_b, px_b, py_b, starts_b, h: int, w: int,
 
 def sorted_supported(feats_t, h: int, rows0: int = ROWS0) -> bool:
     """Sorted-tile kernel applicability: the standard `supported` checks
-    plus a map tall enough that banding means anything."""
-    return supported(feats_t) and h >= rows0
+    plus a map tall enough that banding means anything, and (h - rows0)
+    8-aligned — otherwise the 8-aligned start clamp caps the resident span
+    at (h-rows0)//8*8 + rows0 - 2 < h - 2, so keypoints in the bottom
+    (h - rows0) % 8 rows would fail the coverage check on EVERY batch and
+    the dispatch would silently run the full kernel forever (ADVICE r3);
+    requiring alignment makes that degradation explicit here instead."""
+    return supported(feats_t) and h >= rows0 and (h - rows0) % 8 == 0

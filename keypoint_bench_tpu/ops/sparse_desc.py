@@ -291,8 +291,8 @@ def alike_sparse_descriptors_cm_batch(params: dict, feats_b,
     padded = tuple(_pad_feat_cm(f) for f in feats_b)
     if (_CM_SORTED[0] and
             pallas_sample.sorted_supported([f[0] for f in feats_b], h)):
-        desc = _cm_sorted_dispatch(params, padded, px, py, h, w, lo_shapes,
-                                   interpret)
+        desc = _cm_sorted_dispatch(params, padded, px, py, k, h, w,
+                                   lo_shapes, interpret)
     else:
         o = pallas_sample.fused_samples_batch(padded, px, py, h, w,
                                               lo_shapes, interpret=interpret)
@@ -310,7 +310,7 @@ def set_cm_sorted(on: bool):
 
 
 def _cm_sorted_dispatch(params: dict, padded, px: jnp.ndarray,
-                        py: jnp.ndarray, h: int, w: int, lo_shapes,
+                        py: jnp.ndarray, k: int, h: int, w: int, lo_shapes,
                         interpret: bool = False) -> jnp.ndarray:
     """Band-restricted sampling: sort each map's keypoints by their row-tap
     base y0, so every KT-tile touches only a ~ROWS0-row band of the
@@ -327,17 +327,24 @@ def _cm_sorted_dispatch(params: dict, padded, px: jnp.ndarray,
     bsz, kp = px.shape
     t = kp // kt
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    # pad slots (>= k, zero coords) key to h so they sort LAST — same key
+    # as the yorder variant; keying them y0=0 put pads in tile 0, forcing
+    # start=0 and spurious batch-level fallbacks whenever real low-tile
+    # keypoints sat below row rows0-2 (ADVICE r3). Their band mismatch in
+    # the sorted kernel yields zero samples, dropped by the caller's [:k].
     iota = jnp.broadcast_to(jnp.arange(kp, dtype=jnp.int32), (bsz, kp))
-    y0s, pxs, pys, order = jax.vmap(
+    key = jnp.where(iota < k, y0, h)
+    keys_s, pxs, pys, order = jax.vmap(
         lambda a, b, c, d: lax.sort((a, b, c, d), num_keys=1,
-                                    is_stable=True))(y0, px, py, iota)
-    tiles = y0s.reshape(bsz, t, kt)
+                                    is_stable=True))(key, px, py, iota)
+    tiles = keys_s.reshape(bsz, t, kt)
     # starts 8-aligned: Mosaic requires dynamic DMA offsets on the sublane
     # dim to be divisible by the (8, 128) tiling
     starts = jnp.minimum((tiles[:, :, 0] // 8) * 8, (h - rows0) // 8 * 8)
     # coverage: every y0 in [start, start + rows0 - 2] (clamped tiles pass
-    # automatically when h - rows0 is 8-aligned: bound >= h - 2 >= any y0)
-    ok = jnp.all(tiles <= (starts + rows0 - 2)[:, :, None])
+    # automatically when h - rows0 is 8-aligned: bound >= h - 2 >= any y0);
+    # pad slots (key h) are excluded from the span check
+    ok = jnp.all((tiles <= (starts + rows0 - 2)[:, :, None]) | (tiles >= h))
     # pos_of[orig] = position of original keypoint `orig` in sorted order
     pos_of = jax.vmap(lambda o: lax.sort(
         (o, lax.iota(jnp.int32, kp)), num_keys=1, is_stable=True)[1])(order)

@@ -164,6 +164,7 @@ class Evaluator:
             levels=int(of.get("levels", 1)),
             iterations=int(of.get("interation", of.get("iterations", 40))))
         self.lightglue_params = None
+        self.matcher_fallback = None
         if self.matcher_type == "light_glue":
             # reference wires SuperPoint/DISK (model_interface.py:62-63,
             # 80-81) and additionally ships aliked_lightglue.pth — mapped
@@ -172,12 +173,33 @@ class Evaluator:
                        "DISK": "lightglue_disk",
                        "Alike": "lightglue_aliked",
                        "Alike_s2d": "lightglue_aliked"}.get(cfg.model_type)
-            if lg_name is not None:
+            err = None
+            if lg_name is None:
+                err = (f"matcher_params.type='light_glue' but no LightGlue "
+                       f"adapter exists for model_type="
+                       f"{cfg.model_type!r} (supported: SuperPoint, DISK, "
+                       f"Alike, Alike_s2d)")
+            else:
                 try:
                     self.lightglue_params = load_params(lg_name,
                                                         cfg.weights_dir)
-                except FileNotFoundError:
-                    self.lightglue_params = None
+                except FileNotFoundError as e:
+                    err = (f"matcher_params.type='light_glue' but the "
+                           f"{lg_name!r} weights are not available: {e}")
+            if err is not None:
+                # never silently degrade to brute-force under a light_glue
+                # label (round-3 verdict): raise unless the config opts in,
+                # and then tag the results with what actually ran
+                lg = mp.get("light_glue_params", {})
+                if not lg.get("allow_fallback", False):
+                    raise RuntimeError(
+                        err + ". Set matcher_params.light_glue_params."
+                        "allow_fallback: true to run brute-force instead "
+                        "(results will be tagged matcher_fallback).")
+                import warnings
+                warnings.warn(err + " — falling back to brute_force; "
+                              "results tagged matcher_fallback.")
+                self.matcher_fallback = "brute_force"
         self.desc_scale = 8 if cfg.model_type == "SuperPoint" else 1
         self._key = jax.random.key(cfg.seed)
         self._detect_jit = jax.jit(self._detect_impl)
@@ -270,6 +292,8 @@ class Evaluator:
                 results = fn(ds)
         else:
             results = fn(ds)
+        if self.matcher_fallback is not None:
+            results["matcher_fallback"] = self.matcher_fallback
         os.makedirs(self.cfg.output_dir, exist_ok=True)
         with open(os.path.join(self.cfg.output_dir, "results.json"), "w") as f:
             json.dump({k: v for k, v in results.items()
@@ -917,7 +941,16 @@ class Evaluator:
                           [0, 0, 1.0]], np.float32)
             kpts_px = np.asarray(jnp.stack(kpts))[:, :, :2] * \
                 np.asarray(scale_px)
-            ref = refine_window(kpts_px, tracks, R_w2c, t_w2c, K)
+            mesh = None
+            if self.cfg.task_params.get("ba_distributed"):
+                # refine through the landmark-partitioned Schur solver
+                # (ba/distributed.py): window observations shard on 'data',
+                # same Huber+LM semantics as single-chip (BASELINE.json
+                # config 5: "full VO ... distributed Schur BA")
+                from keypoint_bench_tpu.parallel.mesh import make_mesh
+                n_dev = len(jax.devices())
+                mesh = make_mesh(n_data=n_dev, devices=jax.devices())
+            ref = refine_window(kpts_px, tracks, R_w2c, t_w2c, K, mesh=mesh)
             if ref is not None:
                 Rf, tf, pf, err0, err1 = ref
                 result.update({"ba_R_w2c": Rf, "ba_t_w2c": tf,
