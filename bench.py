@@ -228,18 +228,42 @@ def main():
         # are unreliable through the dispatch tunnel, PERF.md round-2b).
         # natively batched forward: vmap of a batch-1 call measured 244 vs
         # 184 us/map batched (tools/profile_r11.py, round 3)
+        # KBT_BENCH_STACKED=1: run the two image sets as ONE 2B-batch
+        # forward + detection + sampling (exact same math — the batch is
+        # just concatenated and split before matching)
+        stacked = os.environ.get("KBT_BENCH_STACKED", "0") == "1"
+
         def p_fwd(imgs0, imgs1):
+            if stacked:
+                s, f = fwd_feats(params, jnp.concatenate([imgs0, imgs1]))
+                b = imgs0.shape[0]
+                return (s[:b], tuple(x[:b] for x in f),
+                        s[b:], tuple(x[b:] for x in f))
             s0, f0 = fwd_feats(params, imgs0)
             s1, f1 = fwd_feats(params, imgs1)
             return s0, f0, s1, f1
 
         def p_det(imgs0, imgs1):
+            if stacked:
+                s, f = fwd_feats(params, jnp.concatenate([imgs0, imgs1]))
+                k, v = detection_batch(s[..., 0], dp)
+                b = imgs0.shape[0]
+                return (tuple(x[:b] for x in f), tuple(x[b:] for x in f),
+                        k[:b], v[:b], k[b:], v[b:])
             s0, f0, s1, f1 = p_fwd(imgs0, imgs1)
             k0, v0 = detection_batch(s0[..., 0], dp)
             k1, v1 = detection_batch(s1[..., 0], dp)
             return f0, f1, k0, v0, k1, v1
 
-        if cm:
+        if cm and stacked:
+            def p_samp(imgs0, imgs1):
+                s, f = fwd_feats(params, jnp.concatenate([imgs0, imgs1]))
+                k, v = detection_batch(s[..., 0], dp)
+                d, k, v = alike_sparse_descriptors_cm_batch_yorder(
+                    params, tuple(f), k, v, size, size)
+                b = imgs0.shape[0]
+                return k[:b], v[:b], k[b:], v[b:], d[:b], d[b:]
+        elif cm:
             # y-ordered sampler: desc/kpts/valid come back consistently
             # permuted into the band kernel's sorted order — mutual-NN
             # matching is permutation-equivariant, so counts and matched
@@ -302,6 +326,12 @@ def main():
                                   for _ in range(batch)]))
     imgs1 = jnp.asarray(np.stack([_texture(size, size, rng)
                                   for _ in range(batch)]))
+    if (os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16"
+            and os.environ.get("KBT_BENCH_INPUT", "bf16") == "bf16"):
+        # bf16 mode's first op casts the image to bf16 anyway — transferring
+        # bf16 halves the input HBM read without changing any computed value
+        imgs0 = imgs0.astype(jnp.bfloat16)
+        imgs1 = imgs1.astype(jnp.bfloat16)
 
     lowered = step.lower(imgs0, imgs1)
     compiled = lowered.compile()

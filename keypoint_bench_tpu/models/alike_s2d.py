@@ -86,10 +86,36 @@ def _stem_w8(W1b: np.ndarray, b: int, ci: int) -> np.ndarray:
     return out
 
 
+def _conv1_ws2d(w8: np.ndarray, b: int = 4) -> np.ndarray:
+    """Stride-b raw-image kernel [2b, 2b, ci, co] -> width-s2d kernel
+    [2b, 3, b*ci, co] for input [B, H, W/b, b*ci] (a FREE reshape of the
+    NHWC image: (W, ci) -> (W/b, b*ci) preserves linear order). The width
+    taps bx in {0,1,2} read X+bx-1 with pad (1,1); tap (bx, q*ci+c) is raw
+    dx = b*bx + q - (b-1) when 0 <= dx < 2b. XLA then sees a b*ci-channel
+    conv instead of a ci-channel one (49 -> measured-faster us/map for the
+    3-channel ALIKE stem, tools/profile_r12b.py)."""
+    kh, kw, ci, co = w8.shape
+    assert kh == 2 * b and kw == 2 * b
+    out = np.zeros((2 * b, 3, b * ci, co), np.float32)
+    for bx in range(3):
+        for q in range(b):
+            dx = b * bx + q - (b - 1)
+            if 0 <= dx < 2 * b:
+                out[:, bx, q * ci:(q + 1) * ci, :] = w8[:, dx, :, :]
+    return out
+
+
 def transform_params_s2d(params: dict, b: int = _B) -> dict:
     """Converted torch params (models/alike.py contract) -> params with the
     stem (block1.conv1/conv2 + their BNs + conv1 branch) rewritten for the
-    block layout. Low-res weights pass through untouched."""
+    block layout. Low-res weights pass through untouched.
+
+    NEGATIVE RESULT (round 4, tools/profile_r12b.py — don't revisit):
+    permuting x1b's channels to (r0, s0, r1, s1, c) so MaxPool2 becomes two
+    half-tensor maxima made the forward SLOWER (190.9 -> 208-214 us/map at
+    512^2 B=96): 64-lane half-slices are still sub-128-lane relayouts,
+    while XLA's lane shuffles for the standard reshape-max are cheaper
+    than they look."""
     p = dict(params)
 
     def as_np(x):
@@ -107,6 +133,10 @@ def transform_params_s2d(params: dict, b: int = _B) -> dict:
     p["block1.conv1.weight_s2d8"] = jnp.asarray(
         _stem_w8(np.asarray(p["block1.conv1.weight_s2d"], np.float32), b,
                  ci0))
+    # ... and as the width-s2d kernel (free input reshape, 12-channel conv;
+    # measured ~equal to w8 on v5e — kept behind set_stem_impl)
+    p["block1.conv1.weight_ws2d"] = jnp.asarray(_conv1_ws2d(
+        np.asarray(p["block1.conv1.weight_s2d8"], np.float32), b))
     for bn in ("block1.bn1", "block1.bn2"):
         for stat in ("weight", "bias", "running_mean", "running_var"):
             p[f"{bn}.{stat}_s2d"] = jnp.asarray(
@@ -159,6 +189,19 @@ def _bn_s2d(x, p, bn):
                      p[f"{bn}.running_mean_s2d"], p[f"{bn}.running_var_s2d"])
 
 
+# stem conv1 formulation: "w8" (stride-4 conv on the raw 3-channel image,
+# default) or "ws2d" (width-s2d free reshape + 12-channel conv). Both exact
+# (see _conv1_ws2d / _stem_w8); measured ~equal on v5e (49.1 vs 46.1 us/map
+# standalone, but ws2d was slightly SLOWER in the full forward —
+# tools/profile_r12b.py round 4), so the simpler w8 stays default.
+_STEM_IMPL = ["w8"]
+
+
+def set_stem_impl(impl: str):
+    assert impl in ("ws2d", "w8")
+    _STEM_IMPL[0] = impl
+
+
 def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
               trunk_only: bool = False):
     """Shared trunk: stem (s2d layout) + blocks + per-branch aggregation
@@ -181,22 +224,38 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
     hp = None if cast(p["block2.conv1.weight"]).dtype == jnp.bfloat16 \
         else jax.lax.Precision.HIGHEST
 
-    # stem: s2d + conv1_blk as one strided conv on the raw image
-    w8 = cast(p["block1.conv1.weight_s2d8"])
-    dn = jax.lax.conv_dimension_numbers(image.shape, w8.shape,
-                                        ("NHWC", "HWIO", "NHWC"))
-    y = jax.lax.conv_general_dilated(
-        image.astype(w8.dtype), w8, (b, b), [(1, b - 1), (1, b - 1)],
-        dimension_numbers=dn,
-        precision=c._CONV_PRECISION[0],
-        preferred_element_type=jnp.bfloat16 if w8.dtype == jnp.bfloat16
-        else jnp.float32)
+    # stem conv1: width-s2d form by default — the (W, 3) -> (W/4, 12) input
+    # reshape is FREE (identical linear order), and XLA runs the 12-channel
+    # [8, 3, 12, 128] stride-(4,1) conv far better than the 3-channel
+    # stride-(4,4) w8 conv (49.1 us/map, tools/profile_r12.py, B=96 512^2)
+    if _STEM_IMPL[0] == "ws2d" and "block1.conv1.weight_ws2d" in p:
+        wk = cast(p["block1.conv1.weight_ws2d"])
+        nb, hh, ww, ci_ = image.shape
+        imgw = image.reshape(nb, hh, ww // b, b * ci_)
+        dn = jax.lax.conv_dimension_numbers(imgw.shape, wk.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            imgw.astype(wk.dtype), wk, (b, 1), [(1, b - 1), (1, 1)],
+            dimension_numbers=dn,
+            precision=c._CONV_PRECISION[0],
+            preferred_element_type=jnp.bfloat16 if wk.dtype == jnp.bfloat16
+            else jnp.float32)
+    else:
+        w8 = cast(p["block1.conv1.weight_s2d8"])
+        dn = jax.lax.conv_dimension_numbers(image.shape, w8.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            image.astype(w8.dtype), w8, (b, b), [(1, b - 1), (1, b - 1)],
+            dimension_numbers=dn,
+            precision=c._CONV_PRECISION[0],
+            preferred_element_type=jnp.bfloat16 if w8.dtype == jnp.bfloat16
+            else jnp.float32)
     if "block1.conv1.bias_s2d" in p:
         y = y + p["block1.conv1.bias_s2d"]
     y = c.relu(_bn_s2d(y, p, "block1.bn1"))
     y = c.conv2d(y, cast(p["block1.conv2.weight_s2d"]),
                  p.get("block1.conv2.bias_s2d"), 1, 1)
-    x1b = c.relu(_bn_s2d(y, p, "block1.bn2"))                 # [B,H/4,W/4,128]
+    x1b = c.relu(_bn_s2d(y, p, "block1.bn2"))  # [B,H/4,W/4,128] perm order
 
     if trunk_only:
         a1 = x1b
@@ -208,7 +267,8 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
 
     # MaxPool2 on full-res x1 == max over the 2x2 sub-blocks: channel index
     # (r, s, c) with r = 2*r1 + r0 -> reduce r0, s0; the (r1, s1, c) result is
-    # the s2d(2) layout of pooled x1 at H/2
+    # the s2d(2) layout of pooled x1 at H/2. (Reordering channels so these
+    # are half-tensor maxima measured SLOWER — see transform_params_s2d.)
     n, h, w, _ = x1b.shape
     cc = p["block1.conv2.weight"].shape[-1]
     v = x1b.reshape(n, h, w, 2, 2, 2, 2, cc)
@@ -414,20 +474,24 @@ def set_cm_branch_impl(impl: str):
 
 
 def _branch_cm_dilated(xb: jnp.ndarray, w1: jnp.ndarray, bias, b: int,
-                       cast) -> jnp.ndarray:
+                       cast, chan_perm=None) -> jnp.ndarray:
     """relu(conv1x1(un_s2d(xb))) emitted channel-major NCHW by one
     lhs-dilated conv. xb [B, h, w, b*b*ci] (s2d block layout, channel
-    order (r, s, c)); w1 [ci, co] the 1x1 branch head. Output
-    [B, co, h*b, w*b]. Tap derivation: with lhs_dilation=b and padding
-    b-1, output (y, x) = (b*Y + r, b*X + s) reads dilated position
-    (b*Y, b*X) through kernel tap (b-1-r, b-1-s), so
-    K[a, bp, q, :] = w1[c, :] iff q = ((b-1-a)*b + (b-1-bp))*ci + c."""
+    order (r, s, c) — or that order permuted by `chan_perm`, with
+    xb[..., j] holding standard channel chan_perm[j]); w1 [ci, co] the 1x1
+    branch head. Output [B, co, h*b, w*b]. Tap derivation: with
+    lhs_dilation=b and padding b-1, output (y, x) = (b*Y + r, b*X + s)
+    reads dilated position (b*Y, b*X) through kernel tap
+    (b-1-r, b-1-s), so K[a, bp, q, :] = w1[c, :] iff
+    q = ((b-1-a)*b + (b-1-bp))*ci + c (then rows permuted by chan_perm)."""
     ci, co = w1.shape
     k = jnp.zeros((b, b, b * b * ci, co), w1.dtype)
     for a in range(b):
         for bp in range(b):
             q0 = ((b - 1 - a) * b + (b - 1 - bp)) * ci
             k = k.at[a, bp, q0:q0 + ci, :].set(w1)
+    if chan_perm is not None:
+        k = k[:, :, jnp.asarray(chan_perm), :]
     k = cast(k)
     xb = xb.astype(k.dtype)     # bn_eval promotes bf16 trunks to f32
     dn = jax.lax.conv_dimension_numbers(xb.shape, k.shape,

@@ -44,6 +44,7 @@ ops/sparse_desc (tests/test_sparse_desc.py, tests/test_pallas_sample.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -237,7 +238,10 @@ def supported(feats_t) -> bool:
 # windows derive from starts[t] in-kernel; their static sizes bound the
 # composite-tap span (see _band_sizes) so coverage is guaranteed.
 
-ROWS0 = 128  # full-res rows resident per keypoint tile
+# full-res rows resident per keypoint tile; KBT_SAMPLE_ROWS0 overrides for
+# perf sweeps (must keep (h - rows0) % 8 == 0 for the sorted dispatch —
+# sorted_supported enforces it)
+ROWS0 = int(os.environ.get("KBT_SAMPLE_ROWS0", "128"))
 
 
 def _pad8(n: int) -> int:

@@ -43,6 +43,28 @@ def test_alike_s2d_matches_alike():
         set_conv_precision(None)
 
 
+def test_stem_impls_identical():
+    """The width-s2d conv1 (free input reshape + 12-channel conv) equals
+    the stride-4 w8 conv on the raw image bit-for-bit in HIGHEST f32 —
+    same taps, same summation structure."""
+    from keypoint_bench_tpu.models import alike_s2d as a2
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        p = load_params("Alike_s2d")
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((2, 96, 128, 3), np.float32))
+        outs = {}
+        for impl in ("ws2d", "w8"):
+            a2.set_stem_impl(impl)
+            outs[impl] = a2.alike_s2d_feats_cm(p, img)
+        for a, b in zip(jax.tree.leaves(outs["ws2d"]),
+                        jax.tree.leaves(outs["w8"])):
+            assert float(jnp.abs(a - b).max()) < 1e-5
+    finally:
+        a2.set_stem_impl("ws2d")
+        set_conv_precision(None)
+
+
 def test_alike_s2d_via_registry_weights():
     """load_params('Alike_s2d') returns the transformed checkpoint."""
     p = load_params("Alike_s2d")
