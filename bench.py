@@ -154,14 +154,13 @@ def bench_lk_fund():
 def main():
     import jax
 
-    # persistent compilation cache: full-model TPU jits cost 40-60s through
-    # the remote compile helper, and a cold batch-128 compile once blew the
-    # 580s driver budget (PERF.md round 3). With the cache, cold-start is a
-    # one-time cost per (shape, config). KBT_COMPILE_CACHE= disables.
-    cache_dir = os.environ.get(
-        "KBT_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
+    # persistent compilation cache — OPT-IN via KBT_COMPILE_CACHE=<dir>.
+    # Measured on the axon tunnel (round 4): with the cache enabled the
+    # full-pipeline bench compile goes from ~4 min to >10 min (cache
+    # serialization of the large executable through the remote compile
+    # helper is pathological), so it must NOT be the default here. It works
+    # fine for the smaller per-stage jits in tools/profile_r12*.py.
+    cache_dir = os.environ.get("KBT_COMPILE_CACHE", "")
     if cache_dir:
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -327,7 +326,7 @@ def main():
     imgs1 = jnp.asarray(np.stack([_texture(size, size, rng)
                                   for _ in range(batch)]))
     if (os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16"
-            and os.environ.get("KBT_BENCH_INPUT", "bf16") == "bf16"):
+            and os.environ.get("KBT_BENCH_INPUT", "f32") == "bf16"):
         # bf16 mode's first op casts the image to bf16 anyway — transferring
         # bf16 halves the input HBM read without changing any computed value
         imgs0 = imgs0.astype(jnp.bfloat16)
