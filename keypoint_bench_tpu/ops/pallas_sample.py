@@ -240,8 +240,12 @@ def supported(feats_t) -> bool:
 
 # full-res rows resident per keypoint tile; KBT_SAMPLE_ROWS0 overrides for
 # perf sweeps (must keep (h - rows0) % 8 == 0 for the sorted dispatch —
-# sorted_supported enforces it)
-ROWS0 = int(os.environ.get("KBT_SAMPLE_ROWS0", "128"))
+# sorted_supported enforces it). Default 80: measured best on the bench
+# sweep (512^2 B=96: 128 -> 2570.9 fps, 112 -> 2588.3, 96 -> 2607.7,
+# 80 -> 2644.2, 64 -> compile blowup/DNF). Smaller bands = less DMA and
+# less one-hot MXU per tile; the batch-level exact fallback covers tiles
+# whose sorted span overflows the band.
+ROWS0 = int(os.environ.get("KBT_SAMPLE_ROWS0", "80"))
 
 
 def _pad8(n: int) -> int:
