@@ -87,6 +87,40 @@ def bench_lightglue():
     print(json.dumps(out))
 
 
+def bench_vo():
+    """Full VO pipeline frames/s on one chip (BASELINE config 5 shape):
+    the Evaluator's pipelined VO on a synthetic KITTI-contract sequence —
+    per-frame detect (streaming semantics), batched vmapped essential
+    solves, host GT-scale chaining, optional windowed BA. Times the second
+    run (jits warm), which recomputes everything."""
+    from keypoint_bench_tpu.runner import EvalConfig, Evaluator
+
+    frames = int(os.environ.get("KBT_BENCH_VO_FRAMES", "32"))
+    size = int(os.environ.get("KBT_BENCH_SIZE", "512"))
+    ba = os.environ.get("KBT_BENCH_VO_BA", "0") == "1"
+    cfg = EvalConfig(
+        model_type="Alike_s2d", task_type="visual_odometer",
+        data_params={"type": "synthetic_sequence", "num_frames": frames,
+                     "image_size": size},
+        extractor_params={"nms_dist": 6, "threshold": 0, "border_dist": 8,
+                          "top_k": 1000, "min_score": 0.0},
+        matcher_params={"type": "brute_force",
+                        "brute_force_params": {"max_distance": 5.0}},
+        task_params={"pipelined": True, **({"ba_refine": True} if ba else {})},
+        precision="bfloat16",
+        output_dir="/tmp/kbt_bench_vo")
+    ev = Evaluator(cfg)
+    ev.run()                      # warm every jit
+    t0 = time.perf_counter()
+    res = ev.run()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "vo_pipeline_frames_per_s_per_chip",
+        "value": round(frames / dt, 2), "unit": "frames/s",
+        "frames": frames, "ba_refine": ba,
+        "num_frames_out": res["num_frames"]}))
+
+
 def bench_lk_fund():
     """The LK fundamental pipeline frames/s on one chip: ALIKE-t forward
     x2 + fixpoint-NMS detection + pyramidal LK (reference protocol
@@ -175,6 +209,8 @@ def main():
         return bench_lightglue()
     if mode == "lk_fund":
         return bench_lk_fund()
+    if mode == "vo":
+        return bench_vo()
 
     import jax.numpy as jnp
     import numpy as np

@@ -75,17 +75,60 @@ def _sample_patches(img, pts, ox, oy):
     return sample_bilinear_pixels(img, px, py)
 
 
+def _window_bilinear(field_p, pts, win: int, pad: int):
+    """Bilinear patch sampling via ONE slice-gather per point.
+
+    field_p is the field zero-padded by `pad` (>= win+1) on both spatial
+    sides. All win^2 patch taps of a point share one fractional offset, so
+    their 4 bilinear corners form a single (win+1)^2 INTEGER window: one
+    vmapped dynamic_slice (= one gather offset per point; TPU gathers are
+    latency-bound per OFFSET, payload-free — PERF.md round 2) replaces
+    4*win^2 element gathers. Shifted sub-windows recombine the bilinear
+    sum exactly; fully/partially out-of-bounds taps read the zero padding,
+    matching grid_sample(padding_mode='zeros') / _gather_2d semantics.
+    Returns [N, win, win, C] in the _patch_offsets raster (dy major)."""
+    wsz = win + 1
+    half = win // 2
+    c = field_p.shape[-1]
+    x0 = jnp.floor(pts[:, 0])
+    y0 = jnp.floor(pts[:, 1])
+    fx = (pts[:, 0] - x0)[:, None, None, None]
+    fy = (pts[:, 1] - y0)[:, None, None, None]
+    ys = jnp.clip(y0.astype(jnp.int32) - half + pad, 0,
+                  field_p.shape[0] - wsz)
+    xs = jnp.clip(x0.astype(jnp.int32) - half + pad, 0,
+                  field_p.shape[1] - wsz)
+    w = jax.vmap(lambda y, x: lax.dynamic_slice(
+        field_p, (y, x, 0), (wsz, wsz, c)))(ys, xs)
+    return ((1 - fy) * (1 - fx) * w[:, :-1, :-1]
+            + (1 - fy) * fx * w[:, :-1, 1:]
+            + fy * (1 - fx) * w[:, 1:, :-1]
+            + fy * fx * w[:, 1:, 1:])
+
+
 def _lk_level(img1, img2, pts1, pts2, win: int, iterations: int):
-    """One pyramid level. imgs [H,W,C]; pts [N,2] in this level's pixels."""
+    """One pyramid level. imgs [H,W,C]; pts [N,2] in this level's pixels.
+
+    Two gather-count optimizations, both value-exact vs the naive
+    per-tap sampling (tests/test_lk.py):
+      * the three per-iteration fields (img2, dx2, dy2) stack on channels
+        so each point needs ONE slice instead of three;
+      * per-point patches come from one (win+1)^2 window slice-gather
+        (_window_bilinear) instead of 4*win^2 element gathers."""
     dx2, dy2 = _gradients(img2)
-    ox, oy = _patch_offsets(win)
-    patch1 = _sample_patches(img1, pts1, ox, oy)       # [N, w2, C]
+    stacked = jnp.concatenate([img2, dx2, dy2], axis=-1)   # [H, W, 3C]
+    pad = win + 1
+    stacked_p = jnp.pad(stacked, ((pad, pad), (pad, pad), (0, 0)))
+    img1_p = jnp.pad(img1, ((pad, pad), (pad, pad), (0, 0)))
+    patch1 = _window_bilinear(img1_p, pts1, win, pad)      # [N, win, win, C]
     n = pts1.shape[0]
+    c = img1.shape[-1]
 
     def body(_, pts_pre):
-        p2 = _sample_patches(img2, pts_pre, ox, oy)
-        gx = _sample_patches(dx2, pts_pre, ox, oy)
-        gy = _sample_patches(dy2, pts_pre, ox, oy)
+        f = _window_bilinear(stacked_p, pts_pre, win, pad)
+        p2 = f[..., 0:c]
+        gx = f[..., c:2 * c]
+        gy = f[..., 2 * c:3 * c]
         di = (patch1 - p2).reshape(n, -1)              # [N, w2*C]
         jx = gx.reshape(n, -1)
         jy = gy.reshape(n, -1)
