@@ -203,6 +203,21 @@ class Evaluator:
         self.desc_scale = 8 if cfg.model_type == "SuperPoint" else 1
         self._key = jax.random.key(cfg.seed)
         self._detect_jit = jax.jit(self._detect_impl)
+        # per-instance cache for the pipelined batch jits: building
+        # jax.jit(vmap(closure)) inside a _run_* method creates a FRESH
+        # function identity per call, so a second run() would recompile the
+        # whole vmapped pipeline (~45 s for the 32-frame VO batch on TPU —
+        # measured round 4). The closures only capture per-Evaluator
+        # constants (scale, intrinsics, matcher params), so caching by
+        # name is safe; jax still retraces per input shape.
+        self._jit_store: dict = {}
+
+    def _jit_cached(self, key: str, fn):
+        cached = self._jit_store.get(key)
+        if cached is None:
+            cached = jax.jit(fn)
+            self._jit_store[key] = cached
+        return cached
 
     # ---------------- device stages ----------------
 
@@ -762,7 +777,8 @@ class Evaluator:
                 return fundamental_metrics(k0[:, 0:2] * scale,
                                            tracked * scale, v0, F, th)
 
-            batched = jax.jit(jax.vmap(pair_metric))
+            batched = self._jit_cached("fund_lk_pipeline",
+                                       jax.vmap(pair_metric))
             keys = jax.random.split(self.next_key(), n)
             out = batched(jnp.stack([src[p] for p in prev]),
                           jnp.stack(src), jnp.stack([kpts[p] for p in prev]),
@@ -781,7 +797,8 @@ class Evaluator:
                                            k1[nn01][:, 0:2] * scale, ok, F,
                                            th)
 
-            batched = jax.jit(jax.vmap(pair_metric))
+            batched = self._jit_cached("fund_bf_pipeline",
+                                       jax.vmap(pair_metric))
             out = batched(jnp.stack([kpts[p] for p in prev]),
                           jnp.stack([valids[p] for p in prev]),
                           jnp.stack([descs[p] for p in prev]),
@@ -897,7 +914,7 @@ class Evaluator:
                 jnp.asarray(float(metas[0]["cy"])), key)
             return R, t, n_in, okp, nn01, ok
 
-        batched = jax.jit(jax.vmap(pair_solve))
+        batched = self._jit_cached("vo_pair_solve", jax.vmap(pair_solve))
         keys = jax.random.split(self.next_key(), n)
         Rb, tb, n_in, okb, nn01s, mok = batched(
             jnp.stack([kpts[max(0, i - 1)] for i in range(n)]),
