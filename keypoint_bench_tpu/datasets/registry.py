@@ -2,9 +2,20 @@
 datasets/data_interface.py:42-70 `instancialize`)."""
 from __future__ import annotations
 
+# in-process pre-materialized datasets (benchmarks / tests: generate the
+# batches once, time only the pipeline) — register_preloaded(name, items)
+# then data_params = {"type": "preloaded", "name": name}
+_PRELOADED: dict[str, list] = {}
+
+
+def register_preloaded(name: str, items: list):
+    _PRELOADED[name] = list(items)
+
 
 def get_dataset(params: dict):
     t = params["type"]
+    if t == "preloaded":
+        return _PRELOADED[params["name"]]
     if t == "hpatches":
         from keypoint_bench_tpu.datasets.pairs import HPatchesDataset
         return HPatchesDataset(params["root"], params.get("alteration", "all"),

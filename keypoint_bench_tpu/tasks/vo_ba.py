@@ -103,14 +103,33 @@ def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
             uvs.append(kpts_px[f, s])
     if len(points3d) < 8:
         return None
+
+    def _bucket(n: int, quantum: int = 256) -> int:
+        # pad counts to buckets so ba_solve's jit doesn't retrace per
+        # window (track/observation counts vary run to run — a fresh
+        # ~4 s compile per VO window otherwise, measured round 4)
+        return -(-n // quantum) * quantum
+
+    n_obs = len(cams)
+    n_pts = len(points3d)
+    p_obs = _bucket(n_obs)
+    p_pts = _bucket(n_pts, 64)
+    pts_arr = np.concatenate(
+        [np.stack(points3d),
+         np.tile(np.array([0.0, 0.0, 5.0]), (p_pts - n_pts, 1))]) \
+        if p_pts > n_pts else np.stack(points3d)
+    pad_obs = p_obs - n_obs
     prob = BAProblem(
         R=jnp.asarray(R_w2c, jnp.float32),
         t=jnp.asarray(t_w2c, jnp.float32),
-        points=jnp.asarray(np.stack(points3d), jnp.float32),
-        cam_idx=jnp.asarray(cams, jnp.int32),
-        pt_idx=jnp.asarray(pt_ids, jnp.int32),
-        uv=jnp.asarray(np.stack(uvs), jnp.float32),
-        mask=jnp.ones(len(cams), bool),
+        points=jnp.asarray(pts_arr, jnp.float32),
+        cam_idx=jnp.asarray(np.pad(np.asarray(cams, np.int32),
+                                   (0, pad_obs)), jnp.int32),
+        pt_idx=jnp.asarray(np.pad(np.asarray(pt_ids, np.int32),
+                                  (0, pad_obs)), jnp.int32),
+        uv=jnp.asarray(np.pad(np.stack(uvs), ((0, pad_obs), (0, 0))),
+                       jnp.float32),
+        mask=jnp.asarray(np.arange(p_obs) < n_obs),
         K=jnp.asarray(K, jnp.float32))
     return prob
 
