@@ -240,16 +240,24 @@ class Evaluator:
         runners' detect phase): one natively batched forward +
         detection_batch per chunk instead of a batch-1 dispatch per frame
         (31 ms/frame measured at 512^2 on TPU; chunked batching is ~10x).
-        Returns a list of (score, desc|None, kpts, valid) per image —
-        identical values to per-frame detect()."""
+        Returns STACKED (scores [n,...], descs [n,...]|None, kpts [n,K,3],
+        valids [n,K]) — identical values to per-frame detect(); stacked so
+        the pipelined runners don't pay a dispatch per frame slicing and
+        re-stacking (measured: the slice/re-stack pattern cost more than
+        the batched detection itself)."""
         jit = self._jit_cached("detect_batch", self._detect_batch_impl)
-        outs = []
+        parts = []
         for i0 in range(0, len(images), chunk):
             imgs = jnp.asarray(np.stack(images[i0:i0 + chunk]))
-            s, d, k, v = jit(imgs)
-            for j in range(imgs.shape[0]):
-                outs.append((s[j], None if d is None else d[j], k[j], v[j]))
-        return outs
+            parts.append(jit(imgs))
+        if len(parts) == 1:
+            return parts[0]
+        s = jnp.concatenate([p[0] for p in parts])
+        d = None if parts[0][1] is None \
+            else jnp.concatenate([p[1] for p in parts])
+        k = jnp.concatenate([p[2] for p in parts])
+        v = jnp.concatenate([p[3] for p in parts])
+        return s, d, k, v
 
     def next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -774,59 +782,53 @@ class Evaluator:
         task_params.pipelined; supports optical_flow and brute_force."""
         th = float(self.cfg.task_params.get("th", 3.0))
         n = len(ds)
-        frames, Fs, raw = [], [], []
+        Fs, raw = [], []
         for batch in _iter(ds):
-            img = np.asarray(batch["image0"], np.float32)
-            frames.append(jnp.asarray(img))
-            raw.append(img)
-            Fs.append(jnp.asarray(batch["fundamental"]))
-        dets = self.detect_many(raw)
-        kpts = [t[2] for t in dets]
-        valids = [t[3] for t in dets]
-        descs = [t[1] for t in dets]
-        h, w = np.asarray(frames[0]).shape[:2]
+            raw.append(np.asarray(batch["image0"], np.float32))
+            Fs.append(np.asarray(batch["fundamental"]))
+        _, descs_s, kpts_s, valids_s = self.detect_many(raw)
+        frames_s = jnp.asarray(np.stack(raw))
+        Fs_s = jnp.asarray(np.stack(Fs))
+        h, w = raw[0].shape[:2]
         scale = jnp.asarray([w - 1.0, h - 1.0])
-        prev = [max(0, i - 1) for i in range(n)]
+        prev = jnp.asarray([max(0, i - 1) for i in range(n)], jnp.int32)
 
         if self.matcher_type == "optical_flow":
-            if self.cfg.model_type in ("LETNet", "GoodPoint"):
-                src = [d for d in descs]
-            else:
-                src = frames
+            src_s = descs_s if self.cfg.model_type in ("LETNet", "GoodPoint") \
+                else frames_s
 
-            def pair_metric(s0, s1, k0, v0, F, key):
-                tracked, _ = optical_flow(s0, s1, k0[:, 0:2], k0[:, 0:2],
-                                          key, self.lk_params)
-                return fundamental_metrics(k0[:, 0:2] * scale,
-                                           tracked * scale, v0, F, th)
+            def lk_batch(src, kpts, valids, Fs, pi, keys):
+                def pair_metric(s0, s1, k0, v0, F, key):
+                    tracked, _ = optical_flow(s0, s1, k0[:, 0:2],
+                                              k0[:, 0:2], key,
+                                              self.lk_params)
+                    return fundamental_metrics(k0[:, 0:2] * scale,
+                                               tracked * scale, v0, F, th)
+                return jax.vmap(pair_metric)(src[pi], src, kpts[pi],
+                                             valids[pi], Fs, keys)
 
-            batched = self._jit_cached("fund_lk_pipeline",
-                                       jax.vmap(pair_metric))
+            batched = self._jit_cached("fund_lk_pipeline", lk_batch)
             keys = jax.random.split(self.next_key(), n)
-            out = batched(jnp.stack([src[p] for p in prev]),
-                          jnp.stack(src), jnp.stack([kpts[p] for p in prev]),
-                          jnp.stack([valids[p] for p in prev]),
-                          jnp.stack(Fs), keys)
+            out = batched(src_s, kpts_s, valids_s, Fs_s, prev, keys)
         else:
             from keypoint_bench_tpu.ops.grid_sample import sample_at_points
             from keypoint_bench_tpu.ops.matching import mutual_nn_match
 
-            def pair_metric(k0, v0, d0, k1, v1, d1, F):
-                f0 = sample_at_points(d0, k0)
-                f1 = sample_at_points(d1, k1)
-                nn01, ok = mutual_nn_match(f0, f1, v0, v1,
-                                           self.bf_max_distance)
-                return fundamental_metrics(k0[:, 0:2] * scale,
-                                           k1[nn01][:, 0:2] * scale, ok, F,
-                                           th)
+            def bf_batch(kpts, valids, descs, Fs, pi):
+                def pair_metric(k0, v0, d0, k1, v1, d1, F):
+                    f0 = sample_at_points(d0, k0)
+                    f1 = sample_at_points(d1, k1)
+                    nn01, ok = mutual_nn_match(f0, f1, v0, v1,
+                                               self.bf_max_distance)
+                    return fundamental_metrics(k0[:, 0:2] * scale,
+                                               k1[nn01][:, 0:2] * scale,
+                                               ok, F, th)
+                return jax.vmap(pair_metric)(kpts[pi], valids[pi],
+                                             descs[pi], kpts, valids,
+                                             descs, Fs)
 
-            batched = self._jit_cached("fund_bf_pipeline",
-                                       jax.vmap(pair_metric))
-            out = batched(jnp.stack([kpts[p] for p in prev]),
-                          jnp.stack([valids[p] for p in prev]),
-                          jnp.stack([descs[p] for p in prev]),
-                          jnp.stack(kpts), jnp.stack(valids),
-                          jnp.stack(descs), jnp.stack(Fs))
+            batched = self._jit_cached("fund_bf_pipeline", bf_batch)
+            out = batched(kpts_s, valids_s, descs_s, Fs_s, prev)
         errs = np.asarray(out["fundamental_error"])
         radios = np.asarray(out["fundamental_radio"])
         nums = np.asarray(out["fundamental_num"])
@@ -915,35 +917,34 @@ class Evaluator:
         for batch in _iter(ds):
             raw.append(np.asarray(batch["image0"], np.float32))
             metas.append(batch)
-        dets = self.detect_many(raw)
-        kpts = [t[2] for t in dets]
-        valids = [t[3] for t in dets]
-        descs = [t[1] for t in dets]
-        h, w = np.asarray(metas[0]["image0"]).shape[:2]
+        _, descs_s, kpts_s, valids_s = self.detect_many(raw)
+        h, w = raw[0].shape[:2]
         scale_px = jnp.asarray([w - 1.0, h - 1.0])
 
         from keypoint_bench_tpu.ops.grid_sample import sample_at_points
         from keypoint_bench_tpu.ops.matching import mutual_nn_match
 
-        def pair_solve(k0, v0, d0, k1, v1, d1, key):
-            f0 = sample_at_points(d0, k0)
-            f1 = sample_at_points(d1, k1)
-            nn01, ok = mutual_nn_match(f0, f1, v0, v1, self.bf_max_distance)
-            m1 = k1[nn01]
-            R, t, n_in, okp = vo_pair_pose(
-                k0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
-                jnp.asarray(float(metas[0]["fx"])),
-                jnp.asarray(float(metas[0]["cx"])),
-                jnp.asarray(float(metas[0]["cy"])), key)
-            return R, t, n_in, okp, nn01, ok
+        def solve_batch(kpts, valids, descs, pi, keys):
+            def pair_solve(k0, v0, d0, k1, v1, d1, key):
+                f0 = sample_at_points(d0, k0)
+                f1 = sample_at_points(d1, k1)
+                nn01, ok = mutual_nn_match(f0, f1, v0, v1,
+                                           self.bf_max_distance)
+                m1 = k1[nn01]
+                R, t, n_in, okp = vo_pair_pose(
+                    k0[:, 0:2] * scale_px, m1[:, 0:2] * scale_px, ok,
+                    jnp.asarray(float(metas[0]["fx"])),
+                    jnp.asarray(float(metas[0]["cx"])),
+                    jnp.asarray(float(metas[0]["cy"])), key)
+                return R, t, n_in, okp, nn01, ok
+            return jax.vmap(pair_solve)(kpts[pi], valids[pi], descs[pi],
+                                        kpts, valids, descs, keys)
 
-        batched = self._jit_cached("vo_pair_solve", jax.vmap(pair_solve))
+        batched = self._jit_cached("vo_pair_solve", solve_batch)
         keys = jax.random.split(self.next_key(), n)
-        Rb, tb, n_in, okb, nn01s, mok = batched(
-            jnp.stack([kpts[max(0, i - 1)] for i in range(n)]),
-            jnp.stack([valids[max(0, i - 1)] for i in range(n)]),
-            jnp.stack([descs[max(0, i - 1)] for i in range(n)]),
-            jnp.stack(kpts), jnp.stack(valids), jnp.stack(descs), keys)
+        prev = jnp.asarray([max(0, i - 1) for i in range(n)], jnp.int32)
+        Rb, tb, n_in, okb, nn01s, mok = batched(kpts_s, valids_s, descs_s,
+                                                prev, keys)
 
         scales = []
         for batch in metas:
@@ -979,8 +980,7 @@ class Evaluator:
             K = np.array([[fx, 0, float(metas[0]["cx"])],
                           [0, float(metas[0]["fy"]), float(metas[0]["cy"])],
                           [0, 0, 1.0]], np.float32)
-            kpts_px = np.asarray(jnp.stack(kpts))[:, :, :2] * \
-                np.asarray(scale_px)
+            kpts_px = np.asarray(kpts_s)[:, :, :2] * np.asarray(scale_px)
             mesh = None
             if self.cfg.task_params.get("ba_distributed"):
                 # refine through the landmark-partitioned Schur solver
