@@ -791,30 +791,36 @@ class Evaluator:
         Fs_s = jnp.asarray(np.stack(Fs))
         h, w = raw[0].shape[:2]
         scale = jnp.asarray([w - 1.0, h - 1.0])
-        prev = jnp.asarray([max(0, i - 1) for i in range(n)], jnp.int32)
+
+        def _shift1(x):
+            # previous-frame operands as shift-by-one slices (an
+            # integer-index gather over the stacked frame/descriptor
+            # tensors is per-element-bound — see _run_vo_pipelined)
+            return jnp.concatenate([x[:1], x[:-1]])
 
         if self.matcher_type == "optical_flow":
             src_s = descs_s if self.cfg.model_type in ("LETNet", "GoodPoint") \
                 else frames_s
 
-            def lk_batch(src, kpts, valids, Fs, pi, keys):
+            def lk_batch(src, kpts, valids, Fs, keys):
                 def pair_metric(s0, s1, k0, v0, F, key):
                     tracked, _ = optical_flow(s0, s1, k0[:, 0:2],
                                               k0[:, 0:2], key,
                                               self.lk_params)
                     return fundamental_metrics(k0[:, 0:2] * scale,
                                                tracked * scale, v0, F, th)
-                return jax.vmap(pair_metric)(src[pi], src, kpts[pi],
-                                             valids[pi], Fs, keys)
+                return jax.vmap(pair_metric)(_shift1(src), src,
+                                             _shift1(kpts), _shift1(valids),
+                                             Fs, keys)
 
             batched = self._jit_cached("fund_lk_pipeline", lk_batch)
             keys = jax.random.split(self.next_key(), n)
-            out = batched(src_s, kpts_s, valids_s, Fs_s, prev, keys)
+            out = batched(src_s, kpts_s, valids_s, Fs_s, keys)
         else:
             from keypoint_bench_tpu.ops.grid_sample import sample_at_points
             from keypoint_bench_tpu.ops.matching import mutual_nn_match
 
-            def bf_batch(kpts, valids, descs, Fs, pi):
+            def bf_batch(kpts, valids, descs, Fs):
                 def pair_metric(k0, v0, d0, k1, v1, d1, F):
                     f0 = sample_at_points(d0, k0)
                     f1 = sample_at_points(d1, k1)
@@ -823,12 +829,12 @@ class Evaluator:
                     return fundamental_metrics(k0[:, 0:2] * scale,
                                                k1[nn01][:, 0:2] * scale,
                                                ok, F, th)
-                return jax.vmap(pair_metric)(kpts[pi], valids[pi],
-                                             descs[pi], kpts, valids,
+                return jax.vmap(pair_metric)(_shift1(kpts), _shift1(valids),
+                                             _shift1(descs), kpts, valids,
                                              descs, Fs)
 
             batched = self._jit_cached("fund_bf_pipeline", bf_batch)
-            out = batched(kpts_s, valids_s, descs_s, Fs_s, prev)
+            out = batched(kpts_s, valids_s, descs_s, Fs_s)
         errs = np.asarray(out["fundamental_error"])
         radios = np.asarray(out["fundamental_radio"])
         nums = np.asarray(out["fundamental_num"])
@@ -924,7 +930,16 @@ class Evaluator:
         from keypoint_bench_tpu.ops.grid_sample import sample_at_points
         from keypoint_bench_tpu.ops.matching import mutual_nn_match
 
-        def solve_batch(kpts, valids, descs, pi, keys):
+        def solve_batch(kpts, valids, descs, keys):
+            # previous-frame operands via shift-by-one SLICES, not an
+            # integer-index gather: descs[prev_idx] on the [n, H, W, C]
+            # stacked descriptor tensor is per-element-bound (~0.5 GB
+            # gathered -> seconds; round-4 measured the solve at 4.2 s of
+            # a 6 s VO run before this)
+            def shift1(x):
+                return jnp.concatenate([x[:1], x[:-1]])
+            k0s, v0s, d0s = shift1(kpts), shift1(valids), shift1(descs)
+
             def pair_solve(k0, v0, d0, k1, v1, d1, key):
                 f0 = sample_at_points(d0, k0)
                 f1 = sample_at_points(d1, k1)
@@ -937,14 +952,13 @@ class Evaluator:
                     jnp.asarray(float(metas[0]["cx"])),
                     jnp.asarray(float(metas[0]["cy"])), key)
                 return R, t, n_in, okp, nn01, ok
-            return jax.vmap(pair_solve)(kpts[pi], valids[pi], descs[pi],
+            return jax.vmap(pair_solve)(k0s, v0s, d0s,
                                         kpts, valids, descs, keys)
 
         batched = self._jit_cached("vo_pair_solve", solve_batch)
         keys = jax.random.split(self.next_key(), n)
-        prev = jnp.asarray([max(0, i - 1) for i in range(n)], jnp.int32)
         Rb, tb, n_in, okb, nn01s, mok = batched(kpts_s, valids_s, descs_s,
-                                                prev, keys)
+                                                keys)
 
         scales = []
         for batch in metas:
