@@ -18,6 +18,36 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from keypoint_bench_tpu.geometry.smallmat import (essential_basis,
+                                                  smallest_eigvec,
+                                                  smallest_eigvec_exact, svd3)
+
+
+def _on_tpu() -> bool:
+    """Backend dispatch for the small-matrix solves (trace-time static).
+
+    On CPU, jnp.linalg.svd is LAPACK — fast and gold-standard, and every
+    parity test runs there. On TPU it is an iterative XLA algorithm whose
+    convergence is data-dependent; RANSAC's near-singular DLT systems hit
+    its slow path (~137 ms/pair — 4.2 s of a 6 s 32-frame VO run, round
+    4), so the TPU path uses the fixed-iteration routines from
+    geometry/smallmat.py instead (accuracy ~1e-4..1e-6 vs LAPACK —
+    validated against the f64 gold solves; see PERF.md round 4)."""
+    return jax.default_backend() == "tpu"
+
+
+def _null9(M, exact: bool):
+    if _on_tpu():
+        return (smallest_eigvec_exact if exact else smallest_eigvec)(M)
+    _, _, vt = jnp.linalg.svd(M)
+    return vt[-1]
+
+
+def _svd3x3(E):
+    if _on_tpu():
+        return svd3(E)
+    return jnp.linalg.svd(E)
+
 _HP = jax.lax.Precision.HIGHEST
 _mm = functools.partial(jnp.matmul, precision=_HP)
 
@@ -45,10 +75,13 @@ def _sample_minimal(key, mask, n_hyp: int, sample_size: int):
     return jnp.stack(idxs, axis=1)
 
 
-def _solve_dlt_h(p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray):
+def _solve_dlt_h(p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray,
+                 exact: bool = False):
     """Weighted homography DLT. p0, p1 [N, 2]; w [N] weights.
     Returns H [3,3] (mapping p0 -> p1) via the smallest right singular vector
-    of the weighted [2N, 9] design matrix."""
+    of the weighted [2N, 9] design matrix. exact=True uses the
+    Jacobi-accurate eigensolver (once-per-pair refits); hypotheses use the
+    cheap fixed-count inverse iteration."""
     x, y = p0[:, 0], p0[:, 1]
     u, v = p1[:, 0], p1[:, 1]
     z = jnp.zeros_like(x)
@@ -56,8 +89,7 @@ def _solve_dlt_h(p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray):
     r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], axis=1)
     r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], axis=1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
-    _, _, vt = jnp.linalg.svd(_mm(A.T, A))
-    h = vt[-1]
+    h = _null9(_mm(A.T, A), exact)
     return h.reshape(3, 3)
 
 
@@ -105,7 +137,7 @@ def ransac_homography(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0):
     # refit on winning inliers with Hartley normalization
     T0 = _normalize_pts(p0, w)
     T1 = _normalize_pts(p1, w)
-    Hn = _solve_dlt_h(_apply_T(T0, p0), _apply_T(T1, p1), w)
+    Hn = _solve_dlt_h(_apply_T(T0, p0), _apply_T(T1, p1), w, exact=True)
     H = _mm(jnp.linalg.inv(T1), _mm(Hn, T0))
     H = H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1e-12)
     final_inl = (_homography_residual(H, p0, p1) < thresh) & mask
@@ -113,7 +145,7 @@ def ransac_homography(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0):
     return H, final_inl, ok
 
 
-def _solve_eightpoint(p0, p1, w):
+def _solve_eightpoint(p0, p1, w, exact: bool = False):
     """Weighted 8-point DLT for F/E. p in (possibly normalized-camera) coords.
     Returns the [3,3] matrix with smallest singular residual; NOT rank-reduced."""
     x0, y0 = p0[:, 0], p0[:, 1]
@@ -121,18 +153,17 @@ def _solve_eightpoint(p0, p1, w):
     o = jnp.ones_like(x0)
     A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, o],
                   axis=1) * w[:, None]
-    _, _, vt = jnp.linalg.svd(_mm(A.T, A))
-    return vt[-1].reshape(3, 3)
+    return _null9(_mm(A.T, A), exact).reshape(3, 3)
 
 
 def _rank2(F):
-    u, s, vt = jnp.linalg.svd(F)
+    u, s, vt = _svd3x3(F)
     s = s.at[2].set(0.0)
     return _mm(u * s[None, :], vt)
 
 
 def _essential_project(E):
-    u, s, vt = jnp.linalg.svd(E)
+    u, s, vt = _svd3x3(E)
     m = (s[0] + s[1]) / 2.0
     return _mm(u * jnp.array([m, m, 0.0])[None, :], vt)
 
@@ -169,7 +200,8 @@ def ransac_fundamental(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0)
     w = inl[best].astype(jnp.float32)
     T0 = _normalize_pts(p0, w)
     T1 = _normalize_pts(p1, w)
-    Fn = _rank2(_solve_eightpoint(_apply_T(T0, p0), _apply_T(T1, p1), w))
+    Fn = _rank2(_solve_eightpoint(_apply_T(T0, p0), _apply_T(T1, p1), w,
+                                  exact=True))
     F = _mm(T1.T, _mm(Fn, T0))
     final_inl = (_sampson(F, p0, p1) < thresh) & mask
     ok = (jnp.sum(mask) >= 8) & (counts[best] >= 8)
@@ -191,7 +223,13 @@ def _triangulate_depths(R, t, u0, u1):
 
 def decompose_essential(E):
     """E -> (R1, R2, t) candidates (4 poses: (R1,±t), (R2,±t))."""
-    u, s, vt = jnp.linalg.svd(E)
+    if _on_tpu():
+        # essential-specialized basis: the generic svd3 loses the third
+        # columns to E^T E's squared conditioning (sigma3 ~ sqrt(eps));
+        # the null-vector construction keeps R/t accurate to ~1e-7
+        u, vt = essential_basis(E)
+    else:
+        u, _, vt = jnp.linalg.svd(E)
     # enforce proper rotations
     u = u * jnp.sign(jnp.linalg.det(u))
     vt = vt * jnp.sign(jnp.linalg.det(vt))
@@ -245,10 +283,17 @@ def ransac_essential(p0n, p1n, mask, key, n_hyp: int = 512,
     best = jnp.argmax(counts)
 
     # iterated inlier refit (LO-RANSAC flavour): an 8-point minimal sample
-    # is much noisier than cv2's 5-point, so polish the consensus set
+    # is much noisier than cv2's 5-point, so polish the consensus set.
+    # NOTE (round 4, measured, don't "fix" without re-running the
+    # reference-parity suite): both a Hartley-normalized refit and a
+    # best-so-far-by-count guard were tried here; each is more robust in
+    # isolation, but both SHIFTED the VO trajectories away from the
+    # reference's cv2 pipeline (test_metric_parity_ext VO end-gap 0.61 m
+    # vs the 0.4 m parity bound). The plain refit below reproduces the
+    # reference-parity behavior.
     def refit(_, carry):
         w, _E = carry
-        E = _essential_project(_solve_eightpoint(p0n, p1n, w))
+        E = _essential_project(_solve_eightpoint(p0n, p1n, w, exact=True))
         w = ((_sampson(E, p0n, p1n) < thresh) & mask).astype(jnp.float32)
         return w, E
     w0 = inl[best].astype(jnp.float32)
