@@ -235,7 +235,37 @@ class Evaluator:
         kpts, valid = detection_batch(score, self.detect_params)
         return score, desc, kpts, valid
 
-    def detect_many(self, images: list, chunk: int = 16):
+    def _detect_batch_sparse_impl(self, images):
+        """Alike_s2d sparse-descriptor detection: never materializes the
+        dense [B, H, W, 64] descriptor map (the bench pipeline's approach,
+        ops/sparse_desc.py — keypoint descriptors are exactly equal to
+        dense sampling). Returns desc [B, K, 64] instead of a map. On TPU
+        the fused channel-major Pallas sampler runs; elsewhere the exact
+        XLA composite sampler (the Pallas kernel has no CPU lowering)."""
+        from keypoint_bench_tpu.ops.detect import detection_batch
+        h, w = images.shape[1], images.shape[2]
+        if jax.default_backend() == "tpu":
+            from keypoint_bench_tpu.models.alike_s2d import \
+                alike_s2d_feats_cm
+            from keypoint_bench_tpu.ops.sparse_desc import \
+                alike_sparse_descriptors_cm_batch
+            score, feats = alike_s2d_feats_cm(self.params, images)
+            kpts, valid = detection_batch(score, self.detect_params)
+            desc = alike_sparse_descriptors_cm_batch(
+                self.params, tuple(feats), kpts, h, w)
+        else:
+            from keypoint_bench_tpu.models.alike_s2d import alike_s2d_feats
+            from keypoint_bench_tpu.ops.sparse_desc import \
+                alike_sparse_descriptors
+            score, feats = alike_s2d_feats(self.params, images)
+            kpts, valid = detection_batch(score, self.detect_params)
+            desc = jax.vmap(
+                lambda f1, f2, f3, f4, kk: alike_sparse_descriptors(
+                    self.params, (f1, f2, f3, f4), kk, h, w))(*feats, kpts)
+        return score, desc, kpts, valid
+
+    def detect_many(self, images: list, chunk: int = 16,
+                    sparse: bool = False):
         """Batched detection over equal-shape images (the pipelined
         runners' detect phase): one natively batched forward +
         detection_batch per chunk instead of a batch-1 dispatch per frame
@@ -244,8 +274,12 @@ class Evaluator:
         valids [n,K]) — identical values to per-frame detect(); stacked so
         the pipelined runners don't pay a dispatch per frame slicing and
         re-stacking (measured: the slice/re-stack pattern cost more than
-        the batched detection itself)."""
-        jit = self._jit_cached("detect_batch", self._detect_batch_impl)
+        the batched detection itself). With sparse=True (Alike_s2d only)
+        descs come back as per-keypoint vectors [n, K, 64] from the fused
+        sparse sampler — no dense descriptor map is ever built."""
+        jit = self._jit_cached("detect_batch_sparse",
+                               self._detect_batch_sparse_impl) if sparse \
+            else self._jit_cached("detect_batch", self._detect_batch_impl)
         parts = []
         for i0 in range(0, len(images), chunk):
             imgs = jnp.asarray(np.stack(images[i0:i0 + chunk]))
@@ -786,7 +820,10 @@ class Evaluator:
         for batch in _iter(ds):
             raw.append(np.asarray(batch["image0"], np.float32))
             Fs.append(np.asarray(batch["fundamental"]))
-        _, descs_s, kpts_s, valids_s = self.detect_many(raw)
+        sparse = (self.cfg.model_type == "Alike_s2d"
+                  and self.matcher_type != "optical_flow"
+                  and bool(self.cfg.task_params.get("sparse_desc", True)))
+        _, descs_s, kpts_s, valids_s = self.detect_many(raw, sparse=sparse)
         frames_s = jnp.asarray(np.stack(raw))
         Fs_s = jnp.asarray(np.stack(Fs))
         h, w = raw[0].shape[:2]
@@ -822,8 +859,8 @@ class Evaluator:
 
             def bf_batch(kpts, valids, descs, Fs):
                 def pair_metric(k0, v0, d0, k1, v1, d1, F):
-                    f0 = sample_at_points(d0, k0)
-                    f1 = sample_at_points(d1, k1)
+                    f0 = d0 if d0.ndim == 2 else sample_at_points(d0, k0)
+                    f1 = d1 if d1.ndim == 2 else sample_at_points(d1, k1)
                     nn01, ok = mutual_nn_match(f0, f1, v0, v1,
                                                self.bf_max_distance)
                     return fundamental_metrics(k0[:, 0:2] * scale,
@@ -923,7 +960,12 @@ class Evaluator:
         for batch in _iter(ds):
             raw.append(np.asarray(batch["image0"], np.float32))
             metas.append(batch)
-        _, descs_s, kpts_s, valids_s = self.detect_many(raw)
+        # Alike_s2d: sparse per-keypoint descriptors (identical values to
+        # dense sampling, no [n, H, W, 64] map; task_params.sparse_desc
+        # opts out)
+        sparse = (self.cfg.model_type == "Alike_s2d"
+                  and bool(self.cfg.task_params.get("sparse_desc", True)))
+        _, descs_s, kpts_s, valids_s = self.detect_many(raw, sparse=sparse)
         h, w = raw[0].shape[:2]
         scale_px = jnp.asarray([w - 1.0, h - 1.0])
 
@@ -941,8 +983,10 @@ class Evaluator:
             k0s, v0s, d0s = shift1(kpts), shift1(valids), shift1(descs)
 
             def pair_solve(k0, v0, d0, k1, v1, d1, key):
-                f0 = sample_at_points(d0, k0)
-                f1 = sample_at_points(d1, k1)
+                # d* is either a dense [H, W, C] map (sample at keypoints)
+                # or already per-keypoint [K, C] (sparse path)
+                f0 = d0 if d0.ndim == 2 else sample_at_points(d0, k0)
+                f1 = d1 if d1.ndim == 2 else sample_at_points(d1, k1)
                 nn01, ok = mutual_nn_match(f0, f1, v0, v1,
                                            self.bf_max_distance)
                 m1 = k1[nn01]
