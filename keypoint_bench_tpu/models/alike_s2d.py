@@ -224,10 +224,11 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
     hp = None if cast(p["block2.conv1.weight"]).dtype == jnp.bfloat16 \
         else jax.lax.Precision.HIGHEST
 
-    # stem conv1: width-s2d form by default — the (W, 3) -> (W/4, 12) input
-    # reshape is FREE (identical linear order), and XLA runs the 12-channel
-    # [8, 3, 12, 128] stride-(4,1) conv far better than the 3-channel
-    # stride-(4,4) w8 conv (49.1 us/map, tools/profile_r12.py, B=96 512^2)
+    # stem conv1: "ws2d" is the opt-in alternative behind set_stem_impl —
+    # the (W, 3) -> (W/4, 12) input reshape is FREE (identical linear
+    # order) and the 12-channel stride-(4,1) conv measured ~equal to w8
+    # standalone (46.1 vs 49.1 us/map) but slightly slower in the full
+    # forward (tools/profile_r12b.py round 4), so w8 stays the default
     if _STEM_IMPL[0] == "ws2d" and "block1.conv1.weight_ws2d" in p:
         wk = cast(p["block1.conv1.weight_ws2d"])
         nb, hh, ww, ci_ = image.shape

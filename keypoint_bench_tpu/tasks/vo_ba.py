@@ -70,7 +70,8 @@ def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
                      min_depth: float = 0.1, max_depth: float = 100.0):
     """kpts_px [T, Kslots, 2] pixel coords; tracks from chain_tracks;
     R_w2c/t_w2c [T,...] world->camera chained VO poses. Returns (BAProblem,
-    n_points) or None if too few valid tracks.
+    n_points) — n_points is the REAL landmark count before bucket padding —
+    or None if too few valid tracks.
 
     Fully vectorized (round 4): triangulation is one batched 4x4
     np.linalg.svd over all tracks and the observation lists are array ops —
@@ -146,7 +147,7 @@ def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
                        jnp.float32),
         mask=jnp.asarray(np.arange(p_obs) < n_obs),
         K=jnp.asarray(K, jnp.float32))
-    return prob
+    return prob, n_pts
 
 
 def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
@@ -161,9 +162,10 @@ def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
     (ba/distributed.py) — landmarks partitioned over the mesh 'data' axis,
     camera system psum-reduced — with the same Huber + LM semantics as the
     single-chip path (equality test: tests/test_vo_ba.py)."""
-    prob = build_ba_problem(kpts_px, tracks, R_w2c, t_w2c, K)
-    if prob is None:
+    built = build_ba_problem(kpts_px, tracks, R_w2c, t_w2c, K)
+    if built is None:
         return None
+    prob, n_pts = built
     errs = reprojection_errors(prob)
     inlier_mask = prob.mask & (errs < max_init_err)
     prob = BAProblem(prob.R, prob.t, prob.points, prob.cam_idx, prob.pt_idx,
@@ -180,7 +182,9 @@ def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
                           prob.uv, inlier_mask, prob.K)
         err = float(jnp.sum(reprojection_errors(final))
                     / jnp.maximum(jnp.sum(inlier_mask), 1))
-        return np.asarray(R), np.asarray(t), p, err0, err
+        # slice off the bucket-padding phantom landmarks before returning
+        return np.asarray(R), np.asarray(t), np.asarray(p)[:n_pts], err0, err
     R, t, p, err = ba_solve(prob, iters=iters, damping=1e-2,
                             huber_delta=huber_delta)
-    return np.asarray(R), np.asarray(t), np.asarray(p), err0, float(err)
+    return (np.asarray(R), np.asarray(t), np.asarray(p)[:n_pts], err0,
+            float(err))

@@ -54,6 +54,7 @@ def test_stem_impls_identical():
         rng = np.random.default_rng(3)
         img = jnp.asarray(rng.random((2, 96, 128, 3), np.float32))
         outs = {}
+        saved = a2._STEM_IMPL[0]
         for impl in ("ws2d", "w8"):
             a2.set_stem_impl(impl)
             outs[impl] = a2.alike_s2d_feats_cm(p, img)
@@ -61,7 +62,7 @@ def test_stem_impls_identical():
                         jax.tree.leaves(outs["w8"])):
             assert float(jnp.abs(a - b).max()) < 1e-5
     finally:
-        a2.set_stem_impl("ws2d")
+        a2.set_stem_impl(saved)
         set_conv_precision(None)
 
 

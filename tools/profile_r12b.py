@@ -69,6 +69,7 @@ def main():
     t = timeit(f, imgs)
     print(f"conv1 ws2d only: {t / BATCH * 1e6:6.1f} us/map  (was 49.1)")
 
+    saved = a2._STEM_IMPL[0]
     for impl in ("ws2d", "w8"):
         a2.set_stem_impl(impl)
         f = jax.jit(lambda a, i=impl: scalarize(
@@ -76,7 +77,7 @@ def main():
         t = timeit(f, imgs)
         print(f"feats_cm [{impl} + permuted pool]: "
               f"{t / BATCH * 1e6:6.1f} us/map  (was 190.9)")
-    a2.set_stem_impl("ws2d")
+    a2.set_stem_impl(saved)
 
 
 if __name__ == "__main__":
