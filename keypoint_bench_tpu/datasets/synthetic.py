@@ -275,6 +275,18 @@ class SyntheticSequenceDataset:
         self.base = _texture(image_size * 2, image_size * 2, rng)
         z0 = 8.0
         self.z0 = z0
+        # the plane-induced pixel drift must stay inside the double-size
+        # base texture's margin (off = image_size // 2): at the default
+        # fx=256 / z0=8 the x drift is 2.56 px/frame, so capacity is
+        # ~image_size/5 frames — fail loudly instead of slicing ragged
+        # frames past the edge
+        max_drift = max(self.fx * 0.08, self.fy * 0.02) * (num_frames - 1) \
+            / z0
+        assert max_drift < image_size // 2, (
+            f"SyntheticSequenceDataset: {num_frames} frames drift "
+            f"{max_drift:.0f} px past the base-texture margin "
+            f"({image_size // 2} px) — use fewer frames or a larger "
+            f"image_size")
         # forward + sideways translation per frame
         self.poses = []
         for i in range(num_frames):

@@ -224,12 +224,28 @@ def _branches(params: dict, image: jnp.ndarray, keep_blocked: bool = False,
     hp = None if cast(p["block2.conv1.weight"]).dtype == jnp.bfloat16 \
         else jax.lax.Precision.HIGHEST
 
+    # Pre-blocked input [B, H/4, W/4, 48] (host_s2d_images / the C++
+    # prefetcher's s2d emit): the stem starts from full-lane operands and
+    # conv1 is the plain [3,3,48,128] block conv — no in-graph transpose
+    # and no strided tiny-channel conv (conv1 was 49.1 of 191 us/map as
+    # the raw-image w8 conv, an XLA-lowering gap; round-4 verdict item 2).
+    # Detected by channel count (48 vs 3) — exact same math as the raw
+    # path (_conv_w_s2d identity; tests/test_alike_s2d.py).
+    if image.shape[-1] == p["block1.conv1.weight_s2d"].shape[2]:
+        wk = cast(p["block1.conv1.weight_s2d"])
+        y = jax.lax.conv_general_dilated(
+            image.astype(wk.dtype), wk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                image.shape, wk.shape, ("NHWC", "HWIO", "NHWC")),
+            precision=c._CONV_PRECISION[0],
+            preferred_element_type=jnp.bfloat16 if wk.dtype == jnp.bfloat16
+            else jnp.float32)
     # stem conv1: "ws2d" is the opt-in alternative behind set_stem_impl —
     # the (W, 3) -> (W/4, 12) input reshape is FREE (identical linear
     # order) and the 12-channel stride-(4,1) conv measured ~equal to w8
     # standalone (46.1 vs 49.1 us/map) but slightly slower in the full
     # forward (tools/profile_r12b.py round 4), so w8 stays the default
-    if _STEM_IMPL[0] == "ws2d" and "block1.conv1.weight_ws2d" in p:
+    elif _STEM_IMPL[0] == "ws2d" and "block1.conv1.weight_ws2d" in p:
         wk = cast(p["block1.conv1.weight_ws2d"])
         nb, hh, ww, ci_ = image.shape
         imgw = image.reshape(nb, hh, ww // b, b * ci_)
@@ -574,3 +590,53 @@ def alike_s2d_feats_cm(params: dict, image: jnp.ndarray):
     return score, (f1t, f2t,
                    jnp.transpose(a3, (0, 3, 1, 2)),
                    jnp.transpose(a4, (0, 3, 1, 2)))
+
+
+def alike_s2d_sparse_detect_batch(params: dict, images: jnp.ndarray,
+                                  detect_params):
+    """Batched detection + SPARSE keypoint-only descriptors — the shared
+    head used by the pipelined runners and the sharded eval steps
+    (parallel/evaluate.py). The dense full-res [B, H, W, 64] descriptor map
+    is never materialized: keypoint descriptors come from exact composite
+    sampling of the branch features (ops/sparse_desc.py; parity with dense
+    sampling proven in tests/test_sparse_desc.py). On TPU the fused
+    channel-major Pallas sampler runs; elsewhere the exact XLA composite
+    sampler (the Pallas kernel has no CPU lowering).
+
+    Returns (score [B,H,W(,1)], desc [B,K,64] f32, kpts [B,K,3],
+    valid [B,K]). Protocol anchor: the reference only ever samples its
+    dense map at keypoints (utils/matcher.py:221-234)."""
+    import jax as _jax
+    from keypoint_bench_tpu.ops.detect import detection_batch
+
+    h, w = images.shape[1], images.shape[2]
+    if _jax.default_backend() == "tpu":
+        from keypoint_bench_tpu.ops.sparse_desc import \
+            alike_sparse_descriptors_cm_batch
+        score, feats = alike_s2d_feats_cm(params, images)
+        kpts, valid = detection_batch(score, detect_params)
+        desc = alike_sparse_descriptors_cm_batch(
+            params, tuple(feats), kpts, h, w)
+    else:
+        from keypoint_bench_tpu.ops.sparse_desc import \
+            alike_sparse_descriptors
+        score, feats = alike_s2d_feats(params, images)
+        kpts, valid = detection_batch(score, detect_params)
+        desc = _jax.vmap(
+            lambda f1, f2, f3, f4, kk: alike_sparse_descriptors(
+                params, (f1, f2, f3, f4), kk, h, w))(*feats, kpts)
+    return score, desc, kpts, valid
+
+
+def host_s2d_images(imgs: np.ndarray, b: int = _B) -> np.ndarray:
+    """Host-side space-to-depth: [N, H, W, C] -> [N, H/b, W/b, b*b*C] with
+    the (r, s, c) channel order the s2d weights expect — the numpy twin of
+    `s2d` for data loaders. Feeding this layout to the forward deletes
+    conv1's in-graph cost (the strided raw-image conv is an XLA-lowering
+    gap; the C++ prefetcher emits this layout during decode for free,
+    runtime/loader.cpp)."""
+    n, h, w, ch = imgs.shape
+    assert h % b == 0 and w % b == 0, (h, w, b)
+    x = imgs.reshape(n, h // b, b, w // b, b, ch)
+    return np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5)).reshape(
+        n, h // b, w // b, b * b * ch)

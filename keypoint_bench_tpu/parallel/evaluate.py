@@ -21,13 +21,30 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from keypoint_bench_tpu.geometry.ransac import ransac_homography
 from keypoint_bench_tpu.geometry.warp import warp_homography
 from keypoint_bench_tpu.ops.detect import DetectParams, detection_batch
-from keypoint_bench_tpu.ops.matching import brute_force_match
+from keypoint_bench_tpu.ops.matching import (brute_force_match,
+                                             mutual_nn_match, take_rows)
 from keypoint_bench_tpu.tasks.repeatability import repeatability_pair
 
 
-def _forward_detect(model_fn, params, detect_params, imgs0, imgs1):
+def _forward_detect(model_fn, params, detect_params, imgs0, imgs1,
+                    sparse: bool = False):
     """Batched forward x2 + batched detection x2 (the throughput-critical
-    head shared by every sharded step)."""
+    head shared by every sharded step).
+
+    With sparse=True (Alike_s2d), descriptors come back as per-keypoint
+    [B, K, 64] vectors from the sparse sampler instead of dense [B, H, W, D]
+    maps — the single largest HBM cost of the dense protocol step (round-4
+    verdict item 1). Values are identical to sampling the dense map at the
+    keypoints (tests/test_sparse_desc.py); the reference protocol only ever
+    samples descriptors at keypoints (utils/matcher.py:221-234)."""
+    if sparse:
+        from keypoint_bench_tpu.models.alike_s2d import \
+            alike_s2d_sparse_detect_batch
+        _, desc0, k0, v0 = alike_s2d_sparse_detect_batch(params, imgs0,
+                                                         detect_params)
+        _, desc1, k1, v1 = alike_s2d_sparse_detect_batch(params, imgs1,
+                                                         detect_params)
+        return k0, v0, desc0, k1, v1, desc1
     score0, desc0 = model_fn(params, imgs0)
     score1, desc1 = model_fn(params, imgs1)
     k0, v0 = detection_batch(score0, detect_params)
@@ -35,15 +52,33 @@ def _forward_detect(model_fn, params, detect_params, imgs0, imgs1):
     return k0, v0, desc0, k1, v1, desc1
 
 
+def _match_pair(k0, va, k1, vb, d0, d1, max_distance, sparse: bool,
+                match_dtype=None):
+    """Per-pair mutual-NN match for the sharded tails: on the sparse path
+    d0/d1 are already the sampled [K, D] keypoint descriptors; on the dense
+    path they are [H, W, D] maps sampled here (brute_force_match).
+    `match_dtype` (bf16 in precision='bfloat16' runs) selects the fast
+    one-pass distance matmul — +15 vs +449 us/map for the f32 HIGHEST
+    6-pass decomposition (PERF.md round 2b)."""
+    if sparse:
+        if match_dtype is not None:
+            d0 = d0.astype(match_dtype)
+            d1 = d1.astype(match_dtype)
+        nn01, ok = mutual_nn_match(d0, d1, va, vb, max_distance)
+        return k0, take_rows(k1, nn01), ok
+    return brute_force_match(k0, va, k1, vb, d0, d1, max_distance)
+
+
 def batched_repeatability_step(model_fn, params, detect_params: DetectParams,
                                imgs0, imgs1, Hs, Hinvs, sizes, scales, keys,
-                               th: float = 3.0, bf_max_distance: float = 5.0):
+                               th: float = 3.0, bf_max_distance: float = 5.0,
+                               sparse: bool = False, match_dtype=None):
     """Batched pair pipeline over the leading batch axis. Per-pair outputs
     (no in-graph reduction): the host accumulates across batches + the ragged
     tail so the final means cover every pair (reference protocol:
     model_interface.py:119-133 means over all pairs)."""
     k0b, v0b, desc0, k1b, v1b, desc1 = _forward_detect(
-        model_fn, params, detect_params, imgs0, imgs1)
+        model_fn, params, detect_params, imgs0, imgs1, sparse=sparse)
     has_desc = desc0 is not None
 
     def tail(k0, v0, k1, v1, d0, d1, H, Hi, sz, sc, key):
@@ -53,8 +88,8 @@ def batched_repeatability_step(model_fn, params, detect_params: DetectParams,
         rep = repeatability_pair(k0, v0, k1, v1, a0, a01, va, b0, b10, vb,
                                  sc, th)
         if d0 is not None:
-            m0, m1, ok = brute_force_match(k0, va, k1, vb, d0, d1,
-                                           bf_max_distance)
+            m0, m1, ok = _match_pair(k0, va, k1, vb, d0, d1,
+                                     bf_max_distance, sparse, match_dtype)
             s = jnp.stack([width - 1.0, height - 1.0])
             H_est, inl, ok_h = ransac_homography(
                 m0[:, 0:2] * s, m1[:, 0:2] * s, ok, key, n_hyp=256)
@@ -87,7 +122,8 @@ def batched_repeatability_step(model_fn, params, detect_params: DetectParams,
 
 
 def sharded_mha_step(mesh, model_fn, params, detect_params: DetectParams,
-                     thresholds=(3.0, 5.0, 7.0), bf_max_distance: float = 5.0):
+                     thresholds=(3.0, 5.0, 7.0), bf_max_distance: float = 5.0,
+                     sparse: bool = False, match_dtype=None):
     """Mesh-sharded batched MHA: pairs shard over 'data'; returns the
     per-pair hit matrix [B, T] (data-sharded) — the host accumulates across
     batches and the ragged tail so means cover every pair."""
@@ -97,15 +133,15 @@ def sharded_mha_step(mesh, model_fn, params, detect_params: DetectParams,
 
     def step(imgs0, imgs1, Hs, Hinvs, sizes, scales, keys):
         k0b, v0b, desc0, k1b, v1b, desc1 = _forward_detect(
-            model_fn, params, detect_params, imgs0, imgs1)
+            model_fn, params, detect_params, imgs0, imgs1, sparse=sparse)
         h_img, w_img = imgs0.shape[1], imgs0.shape[2]
 
         def tail(k0, v0, k1, v1, d0, d1, H, Hi, sz, key):
             width, height = sz[0], sz[1]
             _, _, va = warp_homography(k0, v0, H, width, height)
             _, _, vb = warp_homography(k1, v1, Hi, width, height)
-            m0, m1, ok = brute_force_match(k0, va, k1, vb, d0, d1,
-                                           bf_max_distance)
+            m0, m1, ok = _match_pair(k0, va, k1, vb, d0, d1,
+                                     bf_max_distance, sparse, match_dtype)
             return mha_pair(m0, m1, ok, H, width, height, h_img, w_img, key,
                             thresholds=thresholds, n_hyp=256)
 
@@ -121,7 +157,8 @@ def sharded_mha_step(mesh, model_fn, params, detect_params: DetectParams,
 
 def sharded_auc_step(mesh, model_fn, params, detect_params: DetectParams,
                      solver: str = "8pt", n_hyp: int = 4096,
-                     bf_max_distance: float = 5.0):
+                     bf_max_distance: float = 5.0,
+                     sparse: bool = False, match_dtype=None):
     """Mesh-sharded batched AUC: pairs shard over 'data'; returns per-pair
     (pose errors [B], inlier counts [B]) — AUC needs the full error list for
     its recall curve, so reduction happens host-side at end of run.
@@ -132,13 +169,13 @@ def sharded_auc_step(mesh, model_fn, params, detect_params: DetectParams,
 
     def step(imgs0, imgs1, K0s, K1s, poses01, keys):
         k0b, v0b, desc0, k1b, v1b, desc1 = _forward_detect(
-            model_fn, params, detect_params, imgs0, imgs1)
+            model_fn, params, detect_params, imgs0, imgs1, sparse=sparse)
         h0, w0 = imgs0.shape[1], imgs0.shape[2]
         h1, w1 = imgs1.shape[1], imgs1.shape[2]
 
         def tail(k0, v0, k1, v1, d0, d1, K0, K1, pose01, key):
-            m0, m1, ok = brute_force_match(k0, v0, k1, v1, d0, d1,
-                                           bf_max_distance)
+            m0, m1, ok = _match_pair(k0, v0, k1, v1, d0, d1,
+                                     bf_max_distance, sparse, match_dtype)
             p0 = m0[:, 0:2] * jnp.asarray([w0 - 1.0, h0 - 1.0])
             p1 = m1[:, 0:2] * jnp.asarray([w1 - 1.0, h1 - 1.0])
             R, t, pm, n_in, okp = estimate_pose_pair(p0, p1, ok, K0, K1, key,
@@ -158,7 +195,8 @@ def sharded_auc_step(mesh, model_fn, params, detect_params: DetectParams,
 
 
 def sharded_eval_step(mesh, model_fn, params, detect_params: DetectParams,
-                      th: float = 3.0, bf_max_distance: float = 5.0):
+                      th: float = 3.0, bf_max_distance: float = 5.0,
+                      sparse: bool = False, match_dtype=None):
     """Build a jitted, mesh-sharded batched repeatability step.
 
     Inputs shard over 'data' on their leading axis; params replicate; the
@@ -170,7 +208,9 @@ def sharded_eval_step(mesh, model_fn, params, detect_params: DetectParams,
         return batched_repeatability_step(model_fn, params, detect_params,
                                           imgs0, imgs1, Hs, Hinvs, sizes,
                                           scales, keys, th=th,
-                                          bf_max_distance=bf_max_distance)
+                                          bf_max_distance=bf_max_distance,
+                                          sparse=sparse,
+                                          match_dtype=match_dtype)
 
     return jax.jit(
         step,

@@ -242,27 +242,10 @@ class Evaluator:
         dense sampling). Returns desc [B, K, 64] instead of a map. On TPU
         the fused channel-major Pallas sampler runs; elsewhere the exact
         XLA composite sampler (the Pallas kernel has no CPU lowering)."""
-        from keypoint_bench_tpu.ops.detect import detection_batch
-        h, w = images.shape[1], images.shape[2]
-        if jax.default_backend() == "tpu":
-            from keypoint_bench_tpu.models.alike_s2d import \
-                alike_s2d_feats_cm
-            from keypoint_bench_tpu.ops.sparse_desc import \
-                alike_sparse_descriptors_cm_batch
-            score, feats = alike_s2d_feats_cm(self.params, images)
-            kpts, valid = detection_batch(score, self.detect_params)
-            desc = alike_sparse_descriptors_cm_batch(
-                self.params, tuple(feats), kpts, h, w)
-        else:
-            from keypoint_bench_tpu.models.alike_s2d import alike_s2d_feats
-            from keypoint_bench_tpu.ops.sparse_desc import \
-                alike_sparse_descriptors
-            score, feats = alike_s2d_feats(self.params, images)
-            kpts, valid = detection_batch(score, self.detect_params)
-            desc = jax.vmap(
-                lambda f1, f2, f3, f4, kk: alike_sparse_descriptors(
-                    self.params, (f1, f2, f3, f4), kk, h, w))(*feats, kpts)
-        return score, desc, kpts, valid
+        from keypoint_bench_tpu.models.alike_s2d import \
+            alike_s2d_sparse_detect_batch
+        return alike_s2d_sparse_detect_batch(self.params, images,
+                                             self.detect_params)
 
     def detect_many(self, images: list, chunk: int = 16,
                     sparse: bool = False):
@@ -296,6 +279,19 @@ class Evaluator:
     def next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _sharded_sparse_opts(self):
+        """(sparse, match_dtype) for the sharded eval steps: Alike_s2d runs
+        the keypoint-only sparse-descriptor head (no dense [B, H, W, D]
+        map — round-4 verdict item 1; disable with
+        task_params.sparse_desc=False), and bfloat16 runs match in bf16
+        (the same descriptor dtype the dense path would sample from a bf16
+        map; the f32-parity suite runs in f32 where match_dtype is None)."""
+        sparse = (self.cfg.model_type == "Alike_s2d"
+                  and bool(self.cfg.task_params.get("sparse_desc", True)))
+        match_dtype = jnp.bfloat16 if (
+            sparse and self.cfg.precision == "bfloat16") else None
+        return sparse, match_dtype
 
     def _warp(self, kpts, valid, wp):
         if wp["mode"] == "homo":
@@ -441,9 +437,11 @@ class Evaluator:
         th = float(self.cfg.task_params.get("th", 3.0))
         b = int(self.cfg.data_params.get("batch_size", 1))
         mesh, n_data = self._sharded_mesh(b)
+        sparse, match_dtype = self._sharded_sparse_opts()
         step = sharded_eval_step(mesh, self.model_fn, self.params,
                                  self.detect_params, th=th,
-                                 bf_max_distance=self.bf_max_distance)
+                                 bf_max_distance=self.bf_max_distance,
+                                 sparse=sparse, match_dtype=match_dtype)
         log = MetricLog(self.cfg.output_dir, self.cfg.resume,
                         meta={"task": "repeatability", "th": th})
         recs: dict[int, dict] = {}
@@ -592,9 +590,11 @@ class Evaluator:
             "th", [3, 5, 7]))
         b = int(self.cfg.data_params.get("batch_size", 1))
         mesh, n_data = self._sharded_mesh(b)
+        sparse, match_dtype = self._sharded_sparse_opts()
         step = sharded_mha_step(mesh, self.model_fn, self.params,
                                 self.detect_params, ths,
-                                bf_max_distance=self.bf_max_distance)
+                                bf_max_distance=self.bf_max_distance,
+                                sparse=sparse, match_dtype=match_dtype)
         log = MetricLog(self.cfg.output_dir, self.cfg.resume,
                         meta={"task": "MHA", "th": list(ths)})
         recs: dict[int, dict] = {}
@@ -692,9 +692,11 @@ class Evaluator:
         solver = self.cfg.task_params.get("solver", "8pt")
         b = int(self.cfg.data_params.get("batch_size", 1))
         mesh, n_data = self._sharded_mesh(b)
+        sparse, match_dtype = self._sharded_sparse_opts()
         step = sharded_auc_step(mesh, self.model_fn, self.params,
                                 self.detect_params, solver=solver,
-                                bf_max_distance=self.bf_max_distance)
+                                bf_max_distance=self.bf_max_distance,
+                                sparse=sparse, match_dtype=match_dtype)
         log = MetricLog(self.cfg.output_dir, self.cfg.resume,
                         meta={"task": "AUC", "solver": solver})
         recs: dict[int, dict] = {}

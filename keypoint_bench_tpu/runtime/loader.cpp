@@ -89,8 +89,25 @@ fail:
 
 // ---- bilinear resize to float RGB [0,1] ------------------------------------
 // cv2.resize-compatible half-pixel mapping: src = (dst + 0.5) * scale - 0.5.
+//
+// With s2d_block b > 1, the output is written directly in the space-to-depth
+// block layout [out_h/b, out_w/b, b*b*3] (channel order (r, s, c) — the
+// layout models/alike_s2d.host_s2d_images produces and the s2d stem weights
+// expect): emitting the TPU-friendly layout here is free (the decode loop
+// writes every pixel exactly once either way) and deletes the in-graph
+// stem-conv1 layout cost (round-4 verdict item 2).
 
-void resize_to_float(const Image& img, int out_w, int out_h, float* dst) {
+inline size_t dst_index(int y, int x, int ch, int out_w, int b) {
+  if (b <= 1)
+    return (static_cast<size_t>(y) * out_w + x) * 3 + ch;
+  const int Y = y / b, r = y % b, X = x / b, s = x % b;
+  return (static_cast<size_t>(Y) * (out_w / b) + X) *
+             (static_cast<size_t>(b) * b * 3) +
+         (static_cast<size_t>(r) * b + s) * 3 + ch;
+}
+
+void resize_to_float(const Image& img, int out_w, int out_h, float* dst,
+                     int s2d_block = 0) {
   const float sx = static_cast<float>(img.w) / out_w;
   const float sy = static_cast<float>(img.h) / out_h;
   for (int y = 0; y < out_h; ++y) {
@@ -115,7 +132,7 @@ void resize_to_float(const Image& img, int out_w, int out_h, float* dst) {
         float v11 = img.data[(static_cast<size_t>(y1) * img.w + x1) * img.c + c];
         float v = (1 - wy) * ((1 - wx) * v00 + wx * v01) +
                   wy * ((1 - wx) * v10 + wx * v11);
-        dst[(static_cast<size_t>(y) * out_w + x) * 3 + ch] = v / 255.0f;
+        dst[dst_index(y, x, ch, out_w, s2d_block)] = v / 255.0f;
       }
     }
   }
@@ -126,6 +143,7 @@ void resize_to_float(const Image& img, int out_w, int out_h, float* dst) {
 struct Prefetcher {
   std::vector<std::string> paths;
   int out_w = 0, out_h = 0;
+  int s2d_block = 0;
   size_t frame_elems = 0;
 
   std::vector<std::thread> workers;
@@ -147,7 +165,7 @@ struct Prefetcher {
       std::vector<float> buf(frame_elems, 0.0f);
       Image img;
       if (load_pnm(paths[idx].c_str(), &img)) {
-        resize_to_float(img, out_w, out_h, buf.data());
+        resize_to_float(img, out_w, out_h, buf.data(), s2d_block);
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] {
@@ -179,19 +197,30 @@ struct Prefetcher {
 
 extern "C" {
 
-void* kbt_prefetcher_create(const char** paths, int64_t n, int out_w,
-                            int out_h, int n_threads, int capacity) {
+// s2d_block > 1: frames come out in the space-to-depth block layout
+// [out_h/b, out_w/b, b*b*3] (same element count; see dst_index above).
+void* kbt_prefetcher_create_s2d(const char** paths, int64_t n, int out_w,
+                                int out_h, int n_threads, int capacity,
+                                int s2d_block) {
+  if (s2d_block > 1 && (out_w % s2d_block || out_h % s2d_block)) return nullptr;
   auto* p = new Prefetcher();
   p->paths.reserve(n);
   for (int64_t i = 0; i < n; ++i) p->paths.emplace_back(paths[i]);
   p->out_w = out_w;
   p->out_h = out_h;
+  p->s2d_block = s2d_block > 1 ? s2d_block : 0;
   p->frame_elems = static_cast<size_t>(out_w) * out_h * 3;
   p->capacity = capacity > 0 ? capacity : 4;
   int nt = n_threads > 0 ? n_threads : 2;
   for (int i = 0; i < nt; ++i)
     p->workers.emplace_back(&Prefetcher::worker, p);
   return p;
+}
+
+void* kbt_prefetcher_create(const char** paths, int64_t n, int out_w,
+                            int out_h, int n_threads, int capacity) {
+  return kbt_prefetcher_create_s2d(paths, n, out_w, out_h, n_threads,
+                                   capacity, 0);
 }
 
 // Blocks until the next in-order frame is decoded; copies into dst

@@ -42,6 +42,10 @@ def _load():
     lib.kbt_prefetcher_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.kbt_prefetcher_create_s2d.restype = ctypes.c_void_p
+    lib.kbt_prefetcher_create_s2d.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.kbt_prefetcher_next.restype = ctypes.c_int64
     lib.kbt_prefetcher_next.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_float)]
@@ -74,10 +78,15 @@ def load_pnm_resized(path: str, out_w: int, out_h: int) -> np.ndarray:
 
 
 class NativePrefetcher:
-    """Ordered multi-threaded decode+resize pipeline over a path list."""
+    """Ordered multi-threaded decode+resize pipeline over a path list.
+
+    With s2d_block=b > 1 the frames come out directly in the space-to-depth
+    block layout [out_h/b, out_w/b, b*b*3] (the Alike_s2d stem input —
+    models/alike_s2d.host_s2d_images semantics), emitted for free during
+    decode so the device graph never pays the layout transpose."""
 
     def __init__(self, paths, out_w: int, out_h: int, n_threads: int = 2,
-                 capacity: int = 4):
+                 capacity: int = 4, s2d_block: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (no g++?)")
@@ -85,9 +94,15 @@ class NativePrefetcher:
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
         self._n = len(paths)
-        self._shape = (out_h, out_w, 3)
-        self._handle = lib.kbt_prefetcher_create(arr, self._n, out_w, out_h,
-                                                 n_threads, capacity)
+        b = int(s2d_block)
+        self._shape = (out_h // b, out_w // b, b * b * 3) if b > 1 \
+            else (out_h, out_w, 3)
+        self._handle = lib.kbt_prefetcher_create_s2d(
+            arr, self._n, out_w, out_h, n_threads, capacity, b)
+        if not self._handle:
+            raise ValueError(
+                f"prefetcher rejected config (size {out_w}x{out_h} not "
+                f"divisible by s2d_block={b}?)")
 
     def __iter__(self):
         for _ in range(self._n):

@@ -76,3 +76,31 @@ def test_alike_s2d_via_registry_weights():
     score, desc = get_model("Alike_s2d")(p, img)
     assert score.shape == (1, 64, 64, 1)
     assert desc.shape == (1, 64, 64, 64)
+
+
+def test_blocked_input_equals_raw():
+    """Pre-blocked [B, H/4, W/4, 48] input (host_s2d_images — the C++
+    prefetcher's s2d emit layout) equals the raw-image forward in HIGHEST
+    f32 to summation-order tolerance: conv1 on the block layout is the
+    _conv_w_s2d identity (same taps, different accumulation order than
+    the folded stride-4 w8 kernel)."""
+    from keypoint_bench_tpu.models import alike_s2d as a2
+    set_conv_precision(jax.lax.Precision.HIGHEST)
+    try:
+        p = load_params("Alike_s2d")
+        rng = np.random.default_rng(5)
+        img = np.asarray(rng.random((2, 96, 128, 3), np.float32))
+        blk = a2.host_s2d_images(img)
+        assert blk.shape == (2, 24, 32, 48)
+        for fwd in (a2.alike_s2d_feats, a2.alike_s2d_feats_cm):
+            ref = fwd(p, jnp.asarray(img))
+            new = fwd(p, jnp.asarray(blk))
+            for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(new)):
+                assert float(jnp.abs(a - b).max()) < 1e-5
+        # full dense model too
+        s_ref, d_ref = a2.alike_s2d(p, jnp.asarray(img))
+        s_new, d_new = a2.alike_s2d(p, jnp.asarray(blk))
+        assert float(jnp.abs(s_ref - s_new).max()) < 1e-5
+        assert float(jnp.abs(d_ref - d_new).max()) < 1e-5
+    finally:
+        set_conv_precision(None)

@@ -124,7 +124,27 @@ def test_replay_vo_kitti(tmp_path):
         gt_R, gt_t = read_kitti_trajectory(gt_file)
         n = min(len(gt_t), len(t_est))
         ate = ate_rmse(t_est[:n], gt_t[:n])
+        assert np.isfinite(ate), ate
         # no published reference number (BASELINE.md: the README VO tables
-        # are commented-out placeholders); bound the GT-scale-chained ATE
-        # at the generous level that still catches a broken E-solver
-        assert np.isfinite(ate) and ate < 100.0, ate
+        # are commented-out placeholders), so the bound is calibrated
+        # (round-4 verdict item 7) against the canonical broken solver:
+        # identity-rotation drift under GT-scale chaining walks a straight
+        # line with the GT step lengths. The estimate must beat that
+        # trajectory's aligned ATE by >= 4x — on KITTI 00's looped GT this
+        # is a sequence-geometry-scaled bound (~1-2% of path length), in
+        # line with the synthetic splat-contract calibration (12-frame
+        # full-pipeline run achieves ATE/path = 2.3%, recorded in PERF.md
+        # round 5). A solver returning identity-rotation drift has
+        # ate == ate_broken and fails by 4x.
+        steps = np.linalg.norm(np.diff(gt_t[:n], axis=0), axis=1)
+        path_len = float(steps.sum())
+        broken = np.zeros((n, 3))
+        broken[1:, 2] = np.cumsum(steps)
+        ate_broken = ate_rmse(broken, gt_t[:n])
+        if ate_broken > 0.05 * path_len:
+            assert ate < 0.25 * ate_broken, (ate, ate_broken)
+        else:
+            # degenerate near-straight GT: identity drift is unseparable
+            # under Umeyama alignment; fall back to 2x the synthetic
+            # splat-contract ratio (0.023 * path)
+            assert ate < 0.05 * path_len, (ate, path_len)

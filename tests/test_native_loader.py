@@ -54,3 +54,30 @@ def test_prefetcher_ordered(ppm_files):
             frame, images[idx].astype(np.float32) / 255.0, atol=1e-6)
     pf.close()
     assert seen == list(range(len(paths)))
+
+
+def test_prefetcher_s2d_layout(ppm_files):
+    """s2d_block=4 frames equal host_s2d_images(plain frames) exactly —
+    the prefetcher emits the Alike_s2d stem input layout during decode."""
+    from keypoint_bench_tpu.models.alike_s2d import host_s2d_images
+    paths, _ = ppm_files
+    plain = {}
+    pf = NativePrefetcher(paths, out_w=64, out_h=48)
+    for idx, frame in pf:
+        plain[idx] = frame
+    pf.close()
+    pf2 = NativePrefetcher(paths, out_w=64, out_h=48, s2d_block=4)
+    n = 0
+    for idx, frame in pf2:
+        assert frame.shape == (12, 16, 48)
+        ref = host_s2d_images(plain[idx][None])[0]
+        np.testing.assert_array_equal(frame, ref)
+        n += 1
+    pf2.close()
+    assert n == len(paths)
+
+
+def test_prefetcher_s2d_rejects_indivisible(ppm_files):
+    paths, _ = ppm_files
+    with pytest.raises(ValueError):
+        NativePrefetcher(paths, out_w=62, out_h=48, s2d_block=4)

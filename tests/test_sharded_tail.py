@@ -76,3 +76,58 @@ def test_auc_sharded_tail_counts_every_pair(tmp_path):
     # pose solves share detection/matching; RANSAC keys differ -> errors
     # agree loosely, and every pair must be present
     assert np.isfinite(sharded["per_pair_error"]).all()
+
+
+def test_repeatability_sharded_sparse_equals_per_pair(tmp_path):
+    """Alike_s2d sharded runs take the SPARSE-descriptor head (round-4
+    verdict item 1: no dense [B, H, W, D] map in the protocol step) — the
+    metrics must still match the per-pair dense pipeline. Repeatability and
+    mean error are descriptor-independent (exact agreement); the matcher
+    feeds only the homography-inlier diagnostic, where sparse sampling is
+    equal to dense sampling up to float summation order."""
+    def cfg(batch_size, out):
+        return EvalConfig(
+            model_type="Alike_s2d", task_type="repeatability",
+            data_params={"type": "synthetic_homography", "num_pairs": 5,
+                         "image_size": 128, "seed": 11,
+                         "batch_size": batch_size},
+            extractor_params={"nms_dist": 4, "threshold": 0,
+                              "border_dist": 8, "top_k": 200,
+                              "min_score": 0.0},
+            matcher_params={"type": "brute_force",
+                            "brute_force_params": {"max_distance": 5.0}},
+            task_params={"th": 3.0}, output_dir=out, seed=3)
+
+    per_pair = Evaluator(cfg(1, str(tmp_path / "pp"))).run()
+    sharded = Evaluator(cfg(4, str(tmp_path / "sh"))).run()
+    assert len(sharded["per_pair_repeatability"]) == 5
+    np.testing.assert_allclose(sharded["per_pair_repeatability"],
+                               per_pair["per_pair_repeatability"], atol=1e-5)
+    np.testing.assert_allclose(sharded["rep_mean_err"],
+                               per_pair["rep_mean_err"], atol=1e-4)
+
+
+def test_mha_sharded_sparse_equals_per_pair(tmp_path):
+    """MHA through the sparse-descriptor sharded step: hit rates agree with
+    the per-pair dense pipeline (descriptors identical up to summation
+    order; RANSAC keys differ between runs -> one pair of wiggle)."""
+    ths = [3, 5, 7]
+
+    def cfg(batch_size, out):
+        return EvalConfig(
+            model_type="Alike_s2d", task_type="MHA",
+            data_params={"type": "synthetic_homography", "num_pairs": 5,
+                         "image_size": 128, "seed": 11,
+                         "batch_size": batch_size},
+            extractor_params={"nms_dist": 4, "threshold": 0,
+                              "border_dist": 8, "top_k": 200,
+                              "min_score": 0.0},
+            matcher_params={"type": "brute_force",
+                            "brute_force_params": {"max_distance": 5.0}},
+            task_params={"th": ths}, output_dir=out, seed=3)
+
+    per_pair = Evaluator(cfg(1, str(tmp_path / "pp"))).run()
+    sharded = Evaluator(cfg(4, str(tmp_path / "sh"))).run()
+    for t in ths:
+        assert abs(sharded[f"MHA@{t}"] - per_pair[f"MHA@{t}"]) \
+            <= 1.0 / 5 + 1e-6, (t, sharded, per_pair)
