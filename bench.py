@@ -140,7 +140,7 @@ def bench_lk_fund():
     from keypoint_bench_tpu.models import get_model
     from keypoint_bench_tpu.models.common import cast_params_bf16
     from keypoint_bench_tpu.ops.detect import DetectParams, detection_batch
-    from keypoint_bench_tpu.ops.lk import LKParams, optical_flow
+    from keypoint_bench_tpu.ops.lk import LKParams, optical_flow_batch
     from keypoint_bench_tpu.tasks.fundamental import fundamental_metrics
     from keypoint_bench_tpu.weights import load_params
 
@@ -157,10 +157,10 @@ def bench_lk_fund():
     def step(imgs0, imgs1, Fs, keys):
         s0, _ = model_fn(params, imgs0)
         k0, v0 = detection_batch(s0[..., 0], dp)
-        tracked, _ = jax.vmap(
-            lambda i0, i1, kk, key: optical_flow(
-                i0, i1, kk[:, 0:2], kk[:, 0:2], key, lk))(
-            imgs0, imgs1, k0, keys)
+        # natively batched LK: Pallas in-kernel tracker on TPU (round-5
+        # verdict item 3; 673 ns/pt/iter vs ~4.4 us XLA slice-gather)
+        tracked, _ = optical_flow_batch(imgs0, imgs1, k0[:, :, 0:2],
+                                        k0[:, :, 0:2], keys, lk)
         scale = jnp.asarray([size - 1.0, size - 1.0])
         out = jax.vmap(
             lambda kk, tr, vv, F: fundamental_metrics(

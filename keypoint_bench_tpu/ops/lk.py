@@ -155,38 +155,12 @@ def optical_flow(img1: jnp.ndarray, img2: jnp.ndarray,
     """Track pts1 (in [0,1]) from img1 [H,W,C] into img2.
 
     pts2 is the initial guess in [0,1] (the reference passes pts1 again).
-    Returns (tracked pts in [0,1], error clamped at 8 px).
-    """
-    h, w = img1.shape[0], img1.shape[1]
-    scale = jnp.array([w - 1.0, h - 1.0], jnp.float32)
-    p1 = pts1[:, 0:2] * scale
-    p2 = pts2[:, 0:2] * scale
-
-    angle = jax.random.normal(key, (p1.shape[0],)) * 6.28
-    jitter = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=1)
-    p2r = p2 + jitter * params.distance
-    p2r = jnp.stack([jnp.clip(p2r[:, 0], 10, w - 10),
-                     jnp.clip(p2r[:, 1], 10, h - 10)], axis=1)
-
-    # pyramid: [full, /2, /4, ...] (reference pools the original image with
-    # kernel 2i, utils/matcher.py:38-46)
-    pyr1 = [img1]
-    pyr2 = [img2]
-    for i in range(params.levels - 1):
-        k = 2 * (i + 1)
-        pyr1.append(_avg_pool_img(img1, k))
-        pyr2.append(_avg_pool_img(img2, k))
-
-    pts_pre = p2r
-    for i in range(params.levels):
-        lvl = params.levels - i - 1
-        s = float(2 ** lvl)
-        out = _lk_level(pyr1[lvl], pyr2[lvl], p1 / s, pts_pre / s,
-                        params.win_size, params.iterations)
-        pts_pre = out * s
-
-    err = jnp.minimum(jnp.linalg.norm(pts_pre - p2, axis=1), 8.0)
-    return pts_pre / scale, err
+    Returns (tracked pts in [0,1], error clamped at 8 px). Delegates to
+    `optical_flow_batch` with a batch of one, so the Pallas in-kernel
+    tracker is auto-selected on TPU."""
+    tracked, err = optical_flow_batch(img1[None], img2[None], pts1[None],
+                                      pts2[None], key[None], params)
+    return tracked[0], err[0]
 
 
 def optical_flow_cv(img0, img1, pts0, pts1, win_size: int = 15,
@@ -209,3 +183,76 @@ def optical_flow_cv(img0, img1, pts0, pts1, win_size: int = 15,
                         10, 0.03))
     tracked, status, _ = cv2.calcOpticalFlowPyrLK(u0, u1, p0, p1.copy(), **lk)
     return tracked / scale, status.reshape(-1)
+
+
+# batched LK implementation: "auto" picks the Pallas in-kernel tracker
+# (ops/pallas_lk.py) on TPU when it applies, else the XLA level loop
+_LK_IMPL = ["auto"]
+
+
+def set_lk_impl(impl: str):
+    assert impl in ("auto", "xla", "pallas")
+    _LK_IMPL[0] = impl
+
+
+def _use_pallas(img_shape, win: int) -> bool:
+    impl = _LK_IMPL[0]
+    if impl == "xla":
+        return False
+    from keypoint_bench_tpu.ops.pallas_lk import supported
+    ok = supported(img_shape, win)
+    if impl == "pallas":
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def optical_flow_batch(imgs1: jnp.ndarray, imgs2: jnp.ndarray,
+                       pts1: jnp.ndarray, pts2: jnp.ndarray,
+                       keys: jax.Array, params: LKParams = LKParams()):
+    """Batched `optical_flow`: imgs [B, H, W, C], pts [B, N, >=2] in [0,1],
+    keys [B]. Same jitter/pyramid/level semantics; the per-level iteration
+    runs through the Pallas in-kernel tracker on TPU (ops/pallas_lk.py —
+    673 ns/pt/iter vs the XLA slice-gather path's ~4.4 us, round-5
+    PERF.md) or the vmapped XLA loop elsewhere. Returns
+    (tracked [B, N, 2] in [0,1], err [B, N])."""
+    b, h, w = imgs1.shape[0], imgs1.shape[1], imgs1.shape[2]
+    scale = jnp.array([w - 1.0, h - 1.0], jnp.float32)
+    p1 = pts1[..., 0:2] * scale
+    p2 = pts2[..., 0:2] * scale
+
+    def jit_one(key, pp):
+        angle = jax.random.normal(key, (pp.shape[0],)) * 6.28
+        jitter = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=1)
+        pr = pp + jitter * params.distance
+        return jnp.stack([jnp.clip(pr[:, 0], 10, w - 10),
+                          jnp.clip(pr[:, 1], 10, h - 10)], axis=1)
+
+    p2r = jax.vmap(jit_one)(keys, p2)
+
+    pyr1 = [imgs1]
+    pyr2 = [imgs2]
+    for i in range(params.levels - 1):
+        k = 2 * (i + 1)
+        pyr1.append(jax.vmap(lambda im, kk=k: _avg_pool_img(im, kk))(imgs1))
+        pyr2.append(jax.vmap(lambda im, kk=k: _avg_pool_img(im, kk))(imgs2))
+
+    use_pallas = _use_pallas(imgs1.shape[1:], params.win_size)
+    pts_pre = p2r
+    for i in range(params.levels):
+        lvl = params.levels - i - 1
+        s = float(2 ** lvl)
+        if use_pallas:
+            from keypoint_bench_tpu.ops.pallas_lk import lk_level_pallas
+            out = lk_level_pallas(pyr1[lvl], pyr2[lvl], p1 / s, pts_pre / s,
+                                  params.win_size, params.iterations)
+        else:
+            out = jax.vmap(
+                lambda i1, i2, a, c: _lk_level(i1, i2, a, c,
+                                               params.win_size,
+                                               params.iterations))(
+                pyr1[lvl], pyr2[lvl], p1 / s, pts_pre / s)
+        pts_pre = out * s
+
+    err = jnp.minimum(jnp.linalg.norm(pts_pre - p2, axis=-1), 8.0)
+    return pts_pre / scale, err

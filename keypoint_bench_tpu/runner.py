@@ -842,15 +842,16 @@ class Evaluator:
                 else frames_s
 
             def lk_batch(src, kpts, valids, Fs, keys):
-                def pair_metric(s0, s1, k0, v0, F, key):
-                    tracked, _ = optical_flow(s0, s1, k0[:, 0:2],
-                                              k0[:, 0:2], key,
-                                              self.lk_params)
-                    return fundamental_metrics(k0[:, 0:2] * scale,
-                                               tracked * scale, v0, F, th)
-                return jax.vmap(pair_metric)(_shift1(src), src,
-                                             _shift1(kpts), _shift1(valids),
-                                             Fs, keys)
+                # natively batched LK (ops/lk.optical_flow_batch): the
+                # Pallas in-kernel tracker on TPU, vmapped XLA elsewhere
+                from keypoint_bench_tpu.ops.lk import optical_flow_batch
+                k0b = _shift1(kpts)[:, :, 0:2]
+                tracked, _ = optical_flow_batch(_shift1(src), src, k0b,
+                                                k0b, keys, self.lk_params)
+                return jax.vmap(
+                    lambda k0, tr, v0, F: fundamental_metrics(
+                        k0 * scale, tr * scale, v0, F, th))(
+                    k0b, tracked, _shift1(valids), Fs)
 
             batched = self._jit_cached("fund_lk_pipeline", lk_batch)
             keys = jax.random.split(self.next_key(), n)
