@@ -32,6 +32,14 @@ BASELINE.json pipelines; each prints its own single JSON line):
                             forward x2 + detection + 3-level 40-iter
                             pyramidal LK at the reference protocol
                             (win 21, distance 10) + epipolar metrics.
+  KBT_BENCH_MODE=superpoint_mha   BASELINE config 2 e2e: SuperPoint fwd x2 +
+                            detection + covisibility warp + BF match +
+                            RANSAC-H MHA tail, with a cost-analysis SOL
+                            anchor (round-4 verdict item 6).
+  KBT_BENCH_MODE=xfeat_auc  BASELINE config 3 e2e: XFeat fwd x2 + detection
+                            + LightGlue matching + essential RANSAC +
+                            recoverPose + pose-error tail, with a
+                            cost-analysis SOL anchor (round-4 verdict item 6).
 """
 import json
 import os
@@ -41,6 +49,219 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _golden_params(name: str):
+    """Load the `param:`-prefixed tensors from a tests/golden fixture as the
+    model's param dict. For the models whose upstream checkpoints are absent
+    (/root/reference/.MISSING_LARGE_BLOBS) these are the schema-exact
+    randomized weights — throughput is weight-VALUE independent, so they are
+    the honest basis for e2e perf numbers until the blobs are supplied."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "golden", f"{name}.npz"))
+    return {k[len("param:"):]: jnp.asarray(g[k])
+            for k in g.files if k.startswith("param:")}
+
+
+def _median_window(run, iters: int, reps: int):
+    """Median-of-reps timed windows (each `iters` dispatches). Returns
+    (median_dt_per_iter, spread_pct, [dt...]) — the round-4 verdict's
+    statistical-defensibility convention for every bench mode."""
+    dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run()
+        import jax
+        jax.block_until_ready(out)
+        dts.append((time.perf_counter() - t0) / iters)
+    s = sorted(dts)
+    med = s[len(s) // 2] if reps % 2 else \
+        0.5 * (s[len(s) // 2 - 1] + s[len(s) // 2])
+    spread = 100.0 * (max(dts) - min(dts)) / med if reps > 1 else 0.0
+    return med, spread, dts
+
+
+def _cost_bytes(compiled):
+    try:
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, list) else cost
+        return float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_superpoint_mha():
+    """BASELINE config 2 e2e (round-4 verdict item 6): SuperPoint forward
+    x2 + fixpoint-NMS detection (top_k 1000, nms 6) + homography
+    covisibility warp + brute-force matching (max_distance 5) + RANSAC-H
+    MHA tail — the reference chain models/SuperPoint.py:30-71 +
+    utils/matcher.py:206-234 + tasks/MHA.py:11-72 at the config_MHA.yaml
+    extractor protocol, as ONE jitted batched program on HPatches-contract
+    warped textured pairs. Weights: schema-exact randomized golden
+    SuperPoint params (upstream blob missing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from keypoint_bench_tpu.datasets.synthetic import \
+        SyntheticHomographyDataset
+    from keypoint_bench_tpu.geometry.warp import warp_homography
+    from keypoint_bench_tpu.models import get_model
+    from keypoint_bench_tpu.models.common import cast_params_bf16
+    from keypoint_bench_tpu.ops.detect import DetectParams, detection_batch
+    from keypoint_bench_tpu.ops.matching import brute_force_match
+    from keypoint_bench_tpu.tasks.mha import mha_pair
+
+    model_fn = get_model("SuperPoint")
+    params = _golden_params("SuperPoint")
+    if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
+        params = cast_params_bf16(params)
+    dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)
+    size = int(os.environ.get("KBT_BENCH_SIZE", "512"))
+    batch = int(os.environ.get("KBT_BENCH_BATCH", "16"))
+    iters = int(os.environ.get("KBT_BENCH_ITERS", "5"))
+    reps = max(1, int(os.environ.get("KBT_BENCH_REPS", "3")))
+    n_hyp = int(os.environ.get("KBT_BENCH_NHYP", "512"))
+
+    ds = SyntheticHomographyDataset(num_pairs=batch, image_size=size)
+    items = [ds[i] for i in range(batch)]
+    imgs0 = jnp.asarray(np.stack([it["image0"] for it in items]))
+    imgs1 = jnp.asarray(np.stack([it["image1"] for it in items]))
+    Hs = jnp.asarray(np.stack(
+        [it["warp01_params"]["homography_matrix"] for it in items]))
+    Hinvs = jnp.asarray(np.stack(
+        [it["warp10_params"]["homography_matrix"] for it in items]))
+    keys = jax.random.split(jax.random.key(0), batch)
+    fsz = float(size)
+
+    def step(imgs0, imgs1, Hs, Hinvs, keys):
+        s0, d0 = model_fn(params, imgs0)
+        s1, d1 = model_fn(params, imgs1)
+        k0b, v0b = detection_batch(s0, dp)
+        k1b, v1b = detection_batch(s1, dp)
+
+        def tail(k0, v0, k1, v1, dm0, dm1, H, Hi, key):
+            _, _, va = warp_homography(k0, v0, H, fsz, fsz)
+            _, _, vb = warp_homography(k1, v1, Hi, fsz, fsz)
+            m0, m1, ok = brute_force_match(k0, va, k1, vb, dm0, dm1, 5.0)
+            return mha_pair(m0, m1, ok, H, fsz, fsz, fsz, fsz, key,
+                            n_hyp=n_hyp)
+
+        return jax.vmap(tail)(k0b, v0b, k1b, v1b, d0, d1, Hs, Hinvs, keys)
+
+    compiled = jax.jit(step).lower(imgs0, imgs1, Hs, Hinvs, keys).compile()
+    bytes_accessed = _cost_bytes(compiled)
+    hits = compiled(imgs0, imgs1, Hs, Hinvs, keys)
+    jax.block_until_ready(hits)
+    dt, spread, _ = _median_window(
+        lambda: compiled(imgs0, imgs1, Hs, Hinvs, keys), iters, reps)
+    sol = (bytes_accessed / dt) / _V5E_HBM_BYTES_PER_S \
+        if bytes_accessed else None
+    mha = np.asarray(jnp.mean(hits, axis=0))
+    print(json.dumps({
+        "metric": "superpoint_mha_e2e_pairs_per_s_per_chip",
+        "value": round(batch / dt, 2), "unit": "pairs/s",
+        "frames_per_s": round(2.0 * batch / dt, 2),
+        "sol_pct": round(100.0 * sol, 1) if sol is not None else None,
+        "batch": batch, "reps": reps, "spread_pct": round(spread, 2),
+        "mha_357": [round(float(x), 3) for x in mha]}))
+
+
+def bench_xfeat_auc():
+    """BASELINE config 3 e2e (round-4 verdict item 6): XFeat forward x2 +
+    fixpoint-NMS detection + per-keypoint descriptor sampling at stride 8 +
+    LightGlue matching + essential RANSAC + recoverPose + pose-error tail —
+    the reference chain models/XFeat.py:112-140 + models/lightglue.py:447-477
+    + tasks/AUC.py:40-155 as ONE jitted batched program on MegaDepth-contract
+    synthetic SE3 splat pairs (true parallax + exact GT pose/intrinsics).
+    Weights: schema-exact randomized goldens (XFeat + LightGlue with a
+    64->256 input projection, the disk/aliked-variant schema shape —
+    throughput is weight-value independent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from keypoint_bench_tpu.datasets.synthetic import SyntheticSE3Dataset
+    from keypoint_bench_tpu.models import get_model
+    from keypoint_bench_tpu.models.common import cast_params_bf16
+    from keypoint_bench_tpu.models.lightglue import (lightglue_forward,
+                                                     sample_descriptors_lg)
+    from keypoint_bench_tpu.ops.detect import DetectParams, detection_batch
+    from keypoint_bench_tpu.tasks.auc import (estimate_pose_pair, pose_auc,
+                                              pose_error)
+
+    model_fn = get_model("XFeat")
+    params = _golden_params("XFeat")
+    if os.environ.get("KBT_BENCH_PRECISION", "bfloat16") == "bfloat16":
+        params = cast_params_bf16(params)
+    lg = _golden_params("lightglue")
+    if "input_proj.weight" not in lg:
+        # the golden fixture is the superpoint-schema variant (desc dim 256,
+        # no input projection); XFeat descriptors are 64-d, so add the
+        # disk/aliked-schema 64->256 projection with schema-exact shapes
+        rng = np.random.default_rng(7)
+        dim = int(lg["transformers.0.self_attn.Wqkv.weight"].shape[0])
+        lg["input_proj.weight"] = jnp.asarray(
+            rng.normal(0, 0.1, (64, dim)), jnp.float32)
+        lg["input_proj.bias"] = jnp.zeros((dim,), jnp.float32)
+    dp = DetectParams(nms_dist=6, border_dist=8, top_k=1000)
+    size = int(os.environ.get("KBT_BENCH_SIZE", "512"))
+    batch = int(os.environ.get("KBT_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("KBT_BENCH_ITERS", "5"))
+    reps = max(1, int(os.environ.get("KBT_BENCH_REPS", "3")))
+    n_hyp = int(os.environ.get("KBT_BENCH_NHYP", "4096"))
+
+    ds = SyntheticSE3Dataset(num_pairs=batch, image_size=size, n_blobs=2400)
+    items = [ds[i] for i in range(batch)]
+    imgs0 = jnp.asarray(np.stack([it["image0"] for it in items]))
+    imgs1 = jnp.asarray(np.stack([it["image1"] for it in items]))
+    Ks = jnp.asarray(np.stack(
+        [it["warp01_params"]["intrinsics0"] for it in items]))
+    poses01 = jnp.asarray(np.stack(
+        [it["warp01_params"]["pose01"] for it in items]))
+    keys = jax.random.split(jax.random.key(0), batch)
+    scale = jnp.asarray([size - 1.0, size - 1.0])
+
+    def step(imgs0, imgs1, Ks, poses01, keys):
+        s0, d0 = model_fn(params, imgs0)
+        s1, d1 = model_fn(params, imgs1)
+        k0b, v0b = detection_batch(s0, dp)
+        k1b, v1b = detection_batch(s1, dp)
+
+        def tail(k0, v0, k1, v1, dm0, dm1, K, pose01, key):
+            p0 = k0[:, 0:2] * scale
+            p1 = k1[:, 0:2] * scale
+            f0 = sample_descriptors_lg(p0, dm0.astype(jnp.float32), 8)
+            f1 = sample_descriptors_lg(p1, dm1.astype(jnp.float32), 8)
+            m0, _, ok = lightglue_forward(lg, p0, v0, f0, p1, v1, f1)
+            mp1 = p1[jnp.maximum(m0, 0)]
+            R, t, _, n_in, okp = estimate_pose_pair(
+                p0, mp1, ok & v0, K, K, key, n_hyp=n_hyp)
+            err = jnp.where(okp, pose_error(R, t, pose01), 180.0)
+            return err, jnp.where(okp, n_in, 0)
+
+        return jax.vmap(tail)(k0b, v0b, k1b, v1b, d0, d1, Ks, poses01, keys)
+
+    compiled = jax.jit(step).lower(imgs0, imgs1, Ks, poses01, keys).compile()
+    bytes_accessed = _cost_bytes(compiled)
+    out = compiled(imgs0, imgs1, Ks, poses01, keys)
+    jax.block_until_ready(out)
+    dt, spread, _ = _median_window(
+        lambda: compiled(imgs0, imgs1, Ks, poses01, keys), iters, reps)
+    sol = (bytes_accessed / dt) / _V5E_HBM_BYTES_PER_S \
+        if bytes_accessed else None
+    errs = np.asarray(out[0])
+    aucs = pose_auc(errs)
+    print(json.dumps({
+        "metric": "xfeat_lightglue_auc_e2e_pairs_per_s_per_chip",
+        "value": round(batch / dt, 2), "unit": "pairs/s",
+        "frames_per_s": round(2.0 * batch / dt, 2),
+        "sol_pct": round(100.0 * sol, 1) if sol is not None else None,
+        "batch": batch, "reps": reps, "spread_pct": round(spread, 2),
+        "auc_5_10_20": [round(float(a), 3) for a in aucs]}))
 
 
 def bench_lightglue():
@@ -218,6 +439,10 @@ def main():
         return bench_lk_fund()
     if mode == "vo":
         return bench_vo()
+    if mode == "superpoint_mha":
+        return bench_superpoint_mha()
+    if mode == "xfeat_auc":
+        return bench_xfeat_auc()
 
     import jax.numpy as jnp
     import numpy as np
