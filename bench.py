@@ -326,7 +326,16 @@ def bench_vo():
     # production path feeds from the C++ prefetcher
     base = get_dataset({"type": "synthetic_sequence", "num_frames": frames,
                         "image_size": size})
-    register_preloaded("bench_vo", [base[i] for i in range(len(base))])
+    items = [dict(base[i]) for i in range(len(base))]
+    if os.environ.get("KBT_BENCH_VO_U8", "1") == "1":
+        # production input layout: decoded video frames are uint8; they
+        # transfer 4x fewer bytes through the tunnel (the dominant detect
+        # cost, tools/profile_r15.py) and normalize on device
+        import numpy as np
+        for it in items:
+            it["image0"] = (np.clip(it["image0"], 0.0, 1.0) * 255.0
+                            + 0.5).astype(np.uint8)
+    register_preloaded("bench_vo", items)
     cfg = EvalConfig(
         model_type="Alike_s2d", task_type="visual_odometer",
         data_params={"type": "preloaded", "name": "bench_vo"},

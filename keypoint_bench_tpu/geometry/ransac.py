@@ -168,6 +168,63 @@ def _essential_project(E):
     return _mm(u * jnp.array([m, m, 0.0])[None, :], vt)
 
 
+def _essential_project_fast(E):
+    """Essential-manifold retraction without a full SVD: null direction by
+    ridge-shifted inverse iteration, pair subspace completed explicitly
+    (smallmat.essential_basis's recipe), output m*(u0 v0^T + u1 v1^T) —
+    EXACTLY rank-2 with equal singular values by construction, and equal
+    to the exact Frobenius projection in the near-essential limit (which
+    minimal-sample DLT outputs are). svd3's 36 batched Jacobi rotations
+    (trig + scattered G builds) on the [n_hyp, 3, 3] hypothesis batch were
+    90% of the whole VO pair-solve — 55 of 62 ms/pair at n_hyp=4096
+    (tools/profile_r16.py, round 5). Sampson scoring is E-scale-invariant,
+    so the residual-scale choice cannot change hypothesis ranking."""
+    C = _mm(jnp.swapaxes(E, -1, -2), E)
+    v2 = smallest_eigvec(C)
+    a = jnp.argmin(jnp.abs(v2), axis=-1)
+    axis = jax.nn.one_hot(a, 3, dtype=E.dtype)
+    v0 = jnp.cross(v2, axis)
+    v0 = v0 / (jnp.linalg.norm(v0, axis=-1, keepdims=True) + 1e-30)
+    v1 = jnp.cross(v2, v0)
+    Ev0 = jnp.einsum("...ij,...j->...i", E, v0)
+    Ev1 = jnp.einsum("...ij,...j->...i", E, v1)
+    s0 = jnp.linalg.norm(Ev0, axis=-1, keepdims=True)
+    u0 = Ev0 / (s0 + 1e-30)
+    u1 = Ev1 - jnp.sum(u0 * Ev1, axis=-1, keepdims=True) * u0
+    s1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    u1 = u1 / (s1 + 1e-30)
+    m = 0.5 * (s0 + s1)[..., None]
+    return m * (u0[..., :, None] * v0[..., None, :]
+                + u1[..., :, None] * v1[..., None, :])
+
+
+def _essential_project_hyp(E):
+    """Hypothesis-batch projection: the fast retraction on TPU, the exact
+    svd3 projection on CPU (the CPU parity suites are bit-pinned, and
+    LAPACK-backed svd there is already fast). The once-per-pair LO refit
+    always uses the exact projection — its semantics are reference-parity
+    pinned (see ransac_essential's refit note)."""
+    if jax.default_backend() == "cpu":
+        return _essential_project(E)
+    return _essential_project_fast(E)
+
+
+def _rank2_hyp(F):
+    """Hypothesis-batch rank-2 projection: on TPU, deflate the null
+    direction — F - (F v2) v2^T with v2 from inverse iteration — which
+    equals the SVD truncation exactly when v2 is the smallest right
+    singular vector (inverse iteration gives it to ~eps on DLT outputs)
+    and costs no Jacobi sweeps (svd3 on the hypothesis batch is the same
+    90%-of-solve cost measured for the essential path, profile_r16).
+    CPU keeps the exact svd3-based _rank2 (bit-pinned parity suites)."""
+    if jax.default_backend() == "cpu":
+        return _rank2(F)
+    C = _mm(jnp.swapaxes(F, -1, -2), F)
+    v2 = smallest_eigvec(C)
+    Fv2 = jnp.einsum("...ij,...j->...i", F, v2)
+    return F - Fv2[..., :, None] * v2[..., None, :]
+
+
 def _sampson(F, p0, p1):
     """Sampson distance for x1^T F x0 = 0."""
     ph0 = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=1)
@@ -188,8 +245,8 @@ def ransac_fundamental(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0)
         q0, q1 = p0[i8], p1[i8]
         T0 = _normalize_pts(q0, jnp.ones(8))
         T1 = _normalize_pts(q1, jnp.ones(8))
-        Fn = _rank2(_solve_eightpoint(_apply_T(T0, q0), _apply_T(T1, q1),
-                                      jnp.ones(8)))
+        Fn = _rank2_hyp(_solve_eightpoint(_apply_T(T0, q0),
+                                          _apply_T(T1, q1), jnp.ones(8)))
         return _mm(T1.T, _mm(Fn, T0))
 
     Fs = jax.vmap(solve_one)(idx)
@@ -273,7 +330,7 @@ def ransac_essential(p0n, p1n, mask, key, n_hyp: int = 512,
     idx = _sample_minimal(key, mask, n_hyp, 8)
 
     def solve_one(i8):
-        return _essential_project(
+        return _essential_project_hyp(
             _solve_eightpoint(p0n[i8], p1n[i8], jnp.ones(8)))
 
     Es = jax.vmap(solve_one)(idx)

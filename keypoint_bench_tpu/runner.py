@@ -229,9 +229,19 @@ class Evaluator:
     def detect(self, image: np.ndarray):
         return self._detect_jit(jnp.asarray(image))
 
+    @staticmethod
+    def _to_float(images):
+        """uint8 frames normalize on DEVICE: host->device transfer through
+        the axon tunnel is ~140 MB/s (measured round 5 — 1.45 s of the
+        1.50 s detect stage for 32 f32 512^2 frames), so production-layout
+        uint8 input cuts the dominant VO detect cost 4x."""
+        if images.dtype == jnp.uint8:
+            return images.astype(jnp.float32) / 255.0
+        return images
+
     def _detect_batch_impl(self, images):
         from keypoint_bench_tpu.ops.detect import detection_batch
-        score, desc = self.model_fn(self.params, images)
+        score, desc = self.model_fn(self.params, self._to_float(images))
         kpts, valid = detection_batch(score, self.detect_params)
         return score, desc, kpts, valid
 
@@ -244,7 +254,8 @@ class Evaluator:
         XLA composite sampler (the Pallas kernel has no CPU lowering)."""
         from keypoint_bench_tpu.models.alike_s2d import \
             alike_s2d_sparse_detect_batch
-        return alike_s2d_sparse_detect_batch(self.params, images,
+        return alike_s2d_sparse_detect_batch(self.params,
+                                             self._to_float(images),
                                              self.detect_params)
 
     def detect_many(self, images: list, chunk: int = 16,
@@ -263,10 +274,13 @@ class Evaluator:
         jit = self._jit_cached("detect_batch_sparse",
                                self._detect_batch_sparse_impl) if sparse \
             else self._jit_cached("detect_batch", self._detect_batch_impl)
-        parts = []
-        for i0 in range(0, len(images), chunk):
-            imgs = jnp.asarray(np.stack(images[i0:i0 + chunk]))
-            parts.append(jit(imgs))
+        # stage every chunk's host->device copy up front (device_put is
+        # async) so later transfers overlap earlier chunks' compute; frames
+        # arriving as uint8 (the production decode layout) transfer 4x
+        # fewer bytes and normalize on device (_to_float)
+        bufs = [jax.device_put(np.stack(images[i0:i0 + chunk]))
+                for i0 in range(0, len(images), chunk)]
+        parts = [jit(b) for b in bufs]
         if len(parts) == 1:
             return parts[0]
         s = jnp.concatenate([p[0] for p in parts])
@@ -958,17 +972,32 @@ class Evaluator:
         GT-scale pose compose chain stays serial on host. Enabled with
         task_params.pipelined for brute-force matching (LK tracking needs the
         raw frames pairwise and stays in the sequential path)."""
+        import time as _time
+        _timing = os.environ.get("KBT_VO_TIMING", "0") == "1"
+        _tmarks = [("start", _time.perf_counter())]
+
+        def _mark(label):
+            if _timing:
+                _tmarks.append((label, _time.perf_counter()))
+
         n = len(ds)
         metas, raw = [], []
         for batch in _iter(ds):
-            raw.append(np.asarray(batch["image0"], np.float32))
+            img = np.asarray(batch["image0"])
+            # keep uint8 frames as-is: they transfer 4x fewer bytes through
+            # the tunnel and normalize on device (_to_float)
+            raw.append(img if img.dtype == np.uint8
+                       else np.asarray(img, np.float32))
             metas.append(batch)
+        _mark("load")
         # Alike_s2d: sparse per-keypoint descriptors (identical values to
         # dense sampling, no [n, H, W, 64] map; task_params.sparse_desc
         # opts out)
         sparse = (self.cfg.model_type == "Alike_s2d"
                   and bool(self.cfg.task_params.get("sparse_desc", True)))
         _, descs_s, kpts_s, valids_s = self.detect_many(raw, sparse=sparse)
+        jax.block_until_ready(kpts_s)
+        _mark("detect")
         h, w = raw[0].shape[:2]
         scale_px = jnp.asarray([w - 1.0, h - 1.0])
 
@@ -1006,6 +1035,8 @@ class Evaluator:
         keys = jax.random.split(self.next_key(), n)
         Rb, tb, n_in, okb, nn01s, mok = batched(kpts_s, valids_s, descs_s,
                                                 keys)
+        jax.block_until_ready(Rb)
+        _mark("solve")
 
         scales = []
         for batch in metas:
@@ -1020,6 +1051,7 @@ class Evaluator:
         write_kitti_trajectory(traj, R_est, t_est)
         result = {"num_frames": n, "trajectory_path": traj,
                   "R_est": R_est, "t_est": t_est}
+        _mark("chain+write")
 
         if self.cfg.task_params.get("ba_refine"):
             # grow VO into windowed bundle adjustment (tasks/vo_ba.py)
@@ -1030,13 +1062,19 @@ class Evaluator:
             t_w2c = [np.zeros(3)]
             Rb_n = np.asarray(Rb)
             tb_n = np.asarray(tb)
+            # materialize once: okb[i] on a device array is a per-iteration
+            # device fetch (~25 ms each through the tunnel — 0.8-1.6 s for
+            # a 32-frame window, measured round 5)
+            okb_n = np.asarray(okb)
             for i in range(1, n):
-                s = scales[i] if scales[i] >= 0.001 and okb[i] else 0.0
+                s = scales[i] if scales[i] >= 0.001 and okb_n[i] else 0.0
                 R_w2c.append(Rb_n[i] @ R_w2c[-1])
                 t_w2c.append(Rb_n[i] @ t_w2c[-1] + s * tb_n[i])
             R_w2c = np.stack(R_w2c)
             t_w2c = np.stack(t_w2c)
+            _mark("ba:pose_chain")
             tracks = chain_tracks(np.asarray(nn01s), np.asarray(mok))
+            _mark("ba:chain_tracks")
             fx = float(metas[0]["fx"])
             K = np.array([[fx, 0, float(metas[0]["cx"])],
                           [0, float(metas[0]["fy"]), float(metas[0]["cy"])],
@@ -1052,6 +1090,7 @@ class Evaluator:
                 n_dev = len(jax.devices())
                 mesh = make_mesh(n_data=n_dev, devices=jax.devices())
             ref = refine_window(kpts_px, tracks, R_w2c, t_w2c, K, mesh=mesh)
+            _mark("ba:refine_window")
             if ref is not None:
                 Rf, tf, pf, err0, err1 = ref
                 result.update({"ba_R_w2c": Rf, "ba_t_w2c": tf,
@@ -1061,6 +1100,11 @@ class Evaluator:
                                "ba_tracks": len(tracks)})
                 print(f"BA window: {len(tracks)} tracks, reproj "
                       f"{err0:.2f} -> {err1:.2f} px")
+        if _timing:
+            parts = " ".join(
+                f"{lbl}={(_tmarks[i + 1][1] - _tmarks[i][1]) * 1e3:.0f}ms"
+                for i, (lbl, _) in enumerate(_tmarks[1:]))
+            print(f"[vo timing] {parts}")
         return result
 
     def _run_vo(self, ds):

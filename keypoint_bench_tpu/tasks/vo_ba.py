@@ -12,6 +12,7 @@ Pipeline:
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -121,15 +122,30 @@ def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
     uvs = list(kpts_px[fr[keep], sl[keep]])
 
     def _bucket(n: int, quantum: int = 256) -> int:
-        # pad counts to buckets so ba_solve's jit doesn't retrace per
-        # window (track/observation counts vary run to run — a fresh
-        # ~4 s compile per VO window otherwise, measured round 4)
-        return -(-n // quantum) * quantum
+        # pad counts to GEOMETRIC buckets (powers of two above `quantum`)
+        # so ba_solve's jit doesn't retrace per window. Arithmetic
+        # 256-quantum buckets were not enough: observation counts depend on
+        # the pose-dependent triangulation depth gate, which jitters a few
+        # hundred obs run-to-run and straddled bucket boundaries — a fresh
+        # ~5.5 s remote compile per VO run (measured round 5,
+        # ba_solve._cache_size() grew per run). Power-of-two buckets absorb
+        # that jitter and bound total distinct compiles logarithmically.
+        b = quantum
+        while b < n:
+            b *= 2
+        return b
 
     n_obs = len(cams)
     n_pts = len(points3d)
-    p_obs = _bucket(n_obs)
-    p_pts = _bucket(n_pts, 64)
+    # bucket from the POSE-INDEPENDENT upper bounds (all track observations
+    # / all tracks), not the depth-gated counts: the gate depends on the
+    # RANSAC-key-dependent chained poses, so gated counts jitter across
+    # runs and straddle any bucket scheme — every VO run recompiled
+    # ba_solve (~5 s through the remote helper, measured round 5 via
+    # ba_solve._cache_size()). Given the same matches, these shapes are
+    # deterministic; the extra rows are masked out.
+    p_obs = _bucket(int(lens.sum()))
+    p_pts = _bucket(n_tracks, 64)
     pts_arr = np.concatenate(
         [np.stack(points3d),
          np.tile(np.array([0.0, 0.0, 5.0]), (p_pts - n_pts, 1))]) \
@@ -150,6 +166,28 @@ def build_ba_problem(kpts_px: np.ndarray, tracks, R_w2c: np.ndarray,
     return prob, n_pts
 
 
+@jax.jit
+def _gate_window(prob: BAProblem, max_init_err):
+    """Initial-reprojection gating + gated mean error as ONE jitted call.
+
+    The eager form (two `reprojection_errors` calls around a host float())
+    re-traced its vmap closure with fresh array constants on every
+    refine_window call, which through the axon remote-compile helper cost
+    12-15 s per VO run (measured round 5, tools/probe_ba_slow.py: the same
+    values through a cached executable cost 30 ms). Keeping `prob` an
+    argument keys the jit cache on shapes, not array identity."""
+    errs = reprojection_errors(prob)
+    m = prob.mask & (errs < max_init_err)
+    err0 = jnp.sum(errs * m) / jnp.maximum(jnp.sum(m), 1)
+    return m, err0
+
+
+@jax.jit
+def _masked_mean_err(prob: BAProblem):
+    errs = reprojection_errors(prob)
+    return jnp.sum(errs) / jnp.maximum(jnp.sum(prob.mask), 1)
+
+
 def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
                   max_init_err: float = 20.0, huber_delta: float = 2.0,
                   mesh=None):
@@ -162,16 +200,30 @@ def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
     (ba/distributed.py) — landmarks partitioned over the mesh 'data' axis,
     camera system psum-reduced — with the same Huber + LM semantics as the
     single-chip path (equality test: tests/test_vo_ba.py)."""
+    import os as _os
+    import time as _time
+    _timing = _os.environ.get("KBT_VO_TIMING", "0") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(lbl):
+        nonlocal _t0
+        if _timing:
+            t1 = _time.perf_counter()
+            print(f"[refine timing] {lbl}={(t1 - _t0) * 1e3:.0f}ms")
+            _t0 = t1
+
     built = build_ba_problem(kpts_px, tracks, R_w2c, t_w2c, K)
+    _mark("build")
     if built is None:
         return None
     prob, n_pts = built
-    errs = reprojection_errors(prob)
-    inlier_mask = prob.mask & (errs < max_init_err)
+    inlier_mask, err0_dev = _gate_window(prob,
+                                         jnp.asarray(max_init_err,
+                                                     jnp.float32))
     prob = BAProblem(prob.R, prob.t, prob.points, prob.cam_idx, prob.pt_idx,
                      prob.uv, inlier_mask, prob.K)
-    err0 = float(jnp.sum(reprojection_errors(prob) * inlier_mask)
-                 / jnp.maximum(jnp.sum(inlier_mask), 1))
+    err0 = float(err0_dev)
+    _mark("gate+err0")
     if mesh is not None:
         from keypoint_bench_tpu.ba.distributed import (ba_solve_distributed,
                                                        gather_points)
@@ -180,11 +232,23 @@ def refine_window(kpts_px, tracks, R_w2c, t_w2c, K, iters: int = 8,
         p = gather_points(pts_sh, meta, int(prob.points.shape[0]))
         final = BAProblem(R, t, jnp.asarray(p), prob.cam_idx, prob.pt_idx,
                           prob.uv, inlier_mask, prob.K)
-        err = float(jnp.sum(reprojection_errors(final))
-                    / jnp.maximum(jnp.sum(inlier_mask), 1))
+        err = float(_masked_mean_err(final))
         # slice off the bucket-padding phantom landmarks before returning
         return np.asarray(R), np.asarray(t), np.asarray(p)[:n_pts], err0, err
     R, t, p, err = ba_solve(prob, iters=iters, damping=1e-2,
                             huber_delta=huber_delta)
-    return (np.asarray(R), np.asarray(t), np.asarray(p)[:n_pts], err0,
-            float(err))
+    if _timing:
+        try:
+            sig = {f.name: (getattr(prob, f.name).shape,
+                            str(getattr(prob, f.name).dtype))
+                   for f in prob.__dataclass_fields__.values()}
+            print(f"[refine timing] ba_solve cache_size="
+                  f"{ba_solve._cache_size()} gate cache_size="
+                  f"{_gate_window._cache_size()} sig={sig}")
+        except Exception as e:
+            print(f"[refine timing] sig fail {e}")
+    _mark("ba_solve_dispatch")
+    out = (np.asarray(R), np.asarray(t), np.asarray(p)[:n_pts], err0,
+           float(err))
+    _mark("ba_solve_sync")
+    return out
