@@ -198,13 +198,23 @@ def _essential_project_fast(E):
                 + u1[..., :, None] * v1[..., None, :])
 
 
+def _use_exact_hyp() -> bool:
+    """Hypothesis projections use the exact svd3 path on CPU (bit-pinned
+    parity suites; LAPACK-backed svd is fast there anyway) or when
+    KBT_EXACT_HYP_PROJ=1 (the A/B knob for metric-quality studies on
+    TPU)."""
+    import os
+    return (jax.default_backend() == "cpu"
+            or os.environ.get("KBT_EXACT_HYP_PROJ", "0") == "1")
+
+
 def _essential_project_hyp(E):
     """Hypothesis-batch projection: the fast retraction on TPU, the exact
     svd3 projection on CPU (the CPU parity suites are bit-pinned, and
     LAPACK-backed svd there is already fast). The once-per-pair LO refit
     always uses the exact projection — its semantics are reference-parity
     pinned (see ransac_essential's refit note)."""
-    if jax.default_backend() == "cpu":
+    if _use_exact_hyp():
         return _essential_project(E)
     return _essential_project_fast(E)
 
@@ -217,7 +227,7 @@ def _rank2_hyp(F):
     and costs no Jacobi sweeps (svd3 on the hypothesis batch is the same
     90%-of-solve cost measured for the essential path, profile_r16).
     CPU keeps the exact svd3-based _rank2 (bit-pinned parity suites)."""
-    if jax.default_backend() == "cpu":
+    if _use_exact_hyp():
         return _rank2(F)
     C = _mm(jnp.swapaxes(F, -1, -2), F)
     v2 = smallest_eigvec(C)
