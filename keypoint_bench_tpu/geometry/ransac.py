@@ -147,12 +147,23 @@ def ransac_homography(p0, p1, mask, key, n_hyp: int = 512, thresh: float = 3.0):
 
 def _solve_eightpoint(p0, p1, w, exact: bool = False):
     """Weighted 8-point DLT for F/E. p in (possibly normalized-camera) coords.
-    Returns the [3,3] matrix with smallest singular residual; NOT rank-reduced."""
+    Returns the [3,3] matrix with smallest singular residual; NOT rank-reduced.
+
+    On TPU the hypothesis path (exact=False) builds A^T A as 45 scalar
+    entries (lower triangle) and feeds smallest_eigvec's list form — no
+    [.., 9, 9] materialization, whose stride-81 entry slices made the
+    vmapped hypothesis eigensolve layout-bound (tools/profile_r16.py,
+    round 5). Same math: M[i][j] = sum_r (w c_i)(w c_j)."""
     x0, y0 = p0[:, 0], p0[:, 1]
     x1, y1 = p1[:, 0], p1[:, 1]
     o = jnp.ones_like(x0)
-    A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, o],
-                  axis=1) * w[:, None]
+    cols = [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, o]
+    if not exact and jax.default_backend() != "cpu":
+        wc = [c * w for c in cols]
+        M = [[jnp.sum(wc[i] * wc[j], axis=-1) for j in range(i + 1)]
+             for i in range(9)]
+        return smallest_eigvec(M).reshape(3, 3)
+    A = jnp.stack(cols, axis=1) * w[:, None]
     return _null9(_mm(A.T, A), exact).reshape(3, 3)
 
 

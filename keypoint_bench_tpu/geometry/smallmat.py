@@ -30,13 +30,24 @@ import jax.numpy as jnp
 
 
 def _chol_unrolled(M):
-    """Cholesky of [..., d, d] PSD with static tiny d — fully unrolled
-    (no while-loops; ~d^3/6 vector ops over the batch)."""
-    d = M.shape[-1]
+    """Cholesky of PSD input with static tiny d — fully unrolled (no
+    while-loops; ~d^3/6 vector ops over the batch). `M` is either a
+    [..., d, d] tensor or a lower-triangular list-of-lists of [...]
+    entries (M[i][j], j <= i) — the list form never materializes the
+    [..., d, d] tensor, so the per-entry reads are plain batched vectors
+    instead of stride-d^2 slices (the tensor form's slices made the
+    batched 9x9 eigensolve layout-bound on TPU: 3.0 of 6.7 ms/pair in the
+    VO RANSAC, tools/profile_r16.py round 5)."""
+    if isinstance(M, (list, tuple)):
+        d = len(M)
+        get = lambda i, j: M[i][j]
+    else:
+        d = M.shape[-1]
+        get = lambda i, j: M[..., i, j]
     L = [[None] * d for _ in range(d)]
     for i in range(d):
         for j in range(i + 1):
-            s = M[..., i, j]
+            s = get(i, j)
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
@@ -65,10 +76,15 @@ def _chol_solve_unrolled(L, b):
 
 
 def smallest_eigvec(M, iters: int = 6):
-    """Unit eigenvector of the smallest eigenvalue of PSD M [..., d, d]
-    (the DLT null vector of A^T A). Ridge-shifted inverse iteration with a
-    deterministic start; sign is arbitrary (DLT outputs are
-    scale/sign-invariant)."""
+    """Unit eigenvector of the smallest eigenvalue of PSD M (the DLT null
+    vector of A^T A). Ridge-shifted inverse iteration with a deterministic
+    start; sign is arbitrary (DLT outputs are scale/sign-invariant).
+
+    `M` is a [..., d, d] tensor, or a lower-triangular list-of-lists of
+    batched [...] entries (see _chol_unrolled) — the list form avoids the
+    [..., d, d] materialization and its stride-d^2 entry slices."""
+    if isinstance(M, (list, tuple)):
+        return _smallest_eigvec_entries(M, iters)
     d = M.shape[-1]
     tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
     # the ridge must sit ABOVE f32 roundoff of the factorization
@@ -86,6 +102,32 @@ def smallest_eigvec(M, iters: int = 6):
     for ridge_rel in (1e-6, 1e-7):
         ridge = ridge_rel * tr / d + 1e-30
         L = _chol_unrolled(M + ridge * eye)
+        v_prev = v
+        for _ in range(iters // 2):
+            v = _chol_solve_unrolled(L, v)
+            v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
+        ok = jnp.all(jnp.isfinite(v), axis=-1, keepdims=True) \
+            & (jnp.linalg.norm(v, axis=-1, keepdims=True) > 0.5)
+        v = jnp.where(ok, v, v_prev)
+    return v
+
+
+def _smallest_eigvec_entries(M, iters: int = 6):
+    """smallest_eigvec for the lower-triangular list-of-lists form: the
+    same two-stage ridge-shifted inverse iteration (see the tensor path's
+    ridge note) with every matrix entry a plain batched vector."""
+    d = len(M)
+    tr = M[0][0]
+    for i in range(1, d):
+        tr = tr + M[i][i]
+    bshape = jnp.shape(tr)
+    dtype = jnp.result_type(M[0][0])
+    v = jnp.full(bshape + (d,), 1.0 / (d ** 0.5), dtype)
+    for ridge_rel in (1e-6, 1e-7):
+        ridge = ridge_rel * tr / d + 1e-30
+        Mr = [[M[i][j] + ridge if i == j else M[i][j]
+               for j in range(i + 1)] for i in range(d)]
+        L = _chol_unrolled(Mr)
         v_prev = v
         for _ in range(iters // 2):
             v = _chol_solve_unrolled(L, v)

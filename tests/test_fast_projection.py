@@ -70,3 +70,19 @@ def test_rank2_deflation_matches_svd_truncation():
             assert np.linalg.norm(defl - ex) < 1e-3 * np.linalg.norm(ex), i
         s = np.linalg.svd(defl, compute_uv=False)
         assert s[2] < 1e-4 * s[0], i
+
+
+def test_smallest_eigvec_list_form_matches_tensor_form():
+    """The lower-triangular entries form of smallest_eigvec (used by the
+    TPU 8-point hypothesis path) runs the same two-stage inverse iteration
+    as the tensor form — results agree to float roundoff."""
+    from keypoint_bench_tpu.geometry.smallmat import smallest_eigvec
+    rng = np.random.default_rng(3)
+    A = rng.normal(0, 1, (64, 8, 9)).astype(np.float32)
+    M = np.einsum("bri,brj->bij", A, A)
+    vt = np.asarray(smallest_eigvec(jnp.asarray(M)))
+    Ml = [[jnp.asarray(M[:, i, j]) for j in range(i + 1)] for i in range(9)]
+    vl = np.asarray(smallest_eigvec(Ml))
+    # per-batch sign alignment
+    sgn = np.sign(np.sum(vt * vl, axis=-1, keepdims=True))
+    assert np.allclose(vt, vl * sgn, rtol=1e-4, atol=1e-5)
