@@ -86,6 +86,18 @@ def _solve_dlt_h(p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray,
     u, v = p1[:, 0], p1[:, 1]
     z = jnp.zeros_like(x)
     o = jnp.ones_like(x)
+    if not exact and jax.default_backend() != "cpu":
+        # TPU hypothesis path: A^T A as 45 scalar entries from the two row
+        # families (M[i][j] = sum_r w^2 (r1_i r1_j + r2_i r2_j)) feeding
+        # smallest_eigvec's list form — no [.., 9, 9] materialization
+        # (same layout win as _solve_eightpoint, profile_r16 round 5)
+        c1 = [-x, -y, -o, z, z, z, u * x, u * y, u]
+        c2 = [z, z, z, -x, -y, -o, v * x, v * y, v]
+        w1 = [c * w for c in c1]
+        w2 = [c * w for c in c2]
+        M = [[jnp.sum(w1[i] * w1[j] + w2[i] * w2[j], axis=-1)
+              for j in range(i + 1)] for i in range(9)]
+        return smallest_eigvec(M).reshape(3, 3)
     r1 = jnp.stack([-x, -y, -o, z, z, z, u * x, u * y, u], axis=1)
     r2 = jnp.stack([z, z, z, -x, -y, -o, v * x, v * y, v], axis=1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
