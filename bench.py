@@ -153,6 +153,53 @@ def bench_superpoint_mha():
 
         return jax.vmap(tail)(k0b, v0b, k1b, v1b, d0, d1, Hs, Hinvs, keys)
 
+    if os.environ.get("KBT_BENCH_STAGES", "0") == "1":
+        # cumulative in-graph prefixes (the only trustworthy split through
+        # the dispatch tunnel, PERF.md round 2b)
+        def p_fwd(imgs0, imgs1, Hs, Hinvs, keys):
+            s0, d0 = model_fn(params, imgs0)
+            s1, d1 = model_fn(params, imgs1)
+            return (jnp.sum(s0) + jnp.sum(s1)
+                    + jnp.sum(d0[..., 0]) + jnp.sum(d1[..., 0]))
+
+        def p_det(imgs0, imgs1, Hs, Hinvs, keys):
+            s0, d0 = model_fn(params, imgs0)
+            s1, d1 = model_fn(params, imgs1)
+            k0b, v0b = detection_batch(s0, dp)
+            k1b, v1b = detection_batch(s1, dp)
+            return (jnp.sum(k0b) + jnp.sum(k1b) + jnp.sum(d0[..., 0])
+                    + jnp.sum(d1[..., 0]))
+
+        def p_match(imgs0, imgs1, Hs, Hinvs, keys):
+            s0, d0 = model_fn(params, imgs0)
+            s1, d1 = model_fn(params, imgs1)
+            k0b, v0b = detection_batch(s0, dp)
+            k1b, v1b = detection_batch(s1, dp)
+
+            def tail(k0, v0, k1, v1, dm0, dm1, H, Hi):
+                _, _, va = warp_homography(k0, v0, H, fsz, fsz)
+                _, _, vb = warp_homography(k1, v1, Hi, fsz, fsz)
+                m0, m1, ok = brute_force_match(k0, va, k1, vb, dm0, dm1,
+                                               5.0)
+                return jnp.sum(ok)
+            return jnp.sum(jax.vmap(tail)(k0b, v0b, k1b, v1b, d0, d1,
+                                          Hs, Hinvs))
+
+        prev = 0.0
+        for nm, fn in (("fwd", p_fwd), ("detect", p_det),
+                       ("match", p_match), ("full", step)):
+            c = jax.jit(fn).lower(imgs0, imgs1, Hs, Hinvs, keys).compile()
+            jax.block_until_ready(c(imgs0, imgs1, Hs, Hinvs, keys))
+            dts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(c(imgs0, imgs1, Hs, Hinvs, keys))
+                dts.append(time.perf_counter() - t0)
+            d = min(dts)
+            print(f"# {nm:7s} cumulative {d * 1e3:7.1f} ms  marginal "
+                  f"{(d - prev) / batch * 1e3:6.2f} ms/pair")
+            prev = d
+
     compiled = jax.jit(step).lower(imgs0, imgs1, Hs, Hinvs, keys).compile()
     bytes_accessed = _cost_bytes(compiled)
     hits = compiled(imgs0, imgs1, Hs, Hinvs, keys)
