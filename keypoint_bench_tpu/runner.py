@@ -258,7 +258,7 @@ class Evaluator:
                                              self._to_float(images),
                                              self.detect_params)
 
-    def detect_many(self, images: list, chunk: int = 16,
+    def detect_many(self, images: list, chunk: int = 8,
                     sparse: bool = False):
         """Batched detection over equal-shape images (the pipelined
         runners' detect phase): one natively batched forward +
